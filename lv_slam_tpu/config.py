@@ -1,0 +1,182 @@
+"""Typed configuration mirroring the reference's launch-file parameter surface.
+
+The reference's de-facto config system is ROS launch XML (`launch/*.launch`);
+every component ctor pulls `private_nh.param<T>(name, default)`. Here each
+pipeline stage gets a frozen dataclass whose field names and defaults follow
+the flagship KITTI configuration (`launch/dlo_lfa_ggo_kitti.launch`) and the
+in-code defaults (`src/lidar_odometry/*.cpp`, `include/global_graph/*.hpp`).
+
+Static shape capacities (``*_cap`` fields) are TPU additions: every device
+array is fixed-capacity + validity mask so that XLA compiles one program per
+configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PrefilterConfig:
+    """Scan prefiltering (reference `src/lidar_odometry/prefiltering_nodelet.cpp:39-89`)."""
+
+    use_distance_filter: bool = True
+    distance_near_thresh: float = 0.5
+    distance_far_thresh: float = 100.0
+    # NONE | VOXELGRID | APPROX_VOXELGRID
+    downsample_method: str = "VOXELGRID"
+    downsample_resolution: float = 0.1
+    # NONE | RADIUS | STATISTICAL.  NOTE: the reference's RADIUS branch never
+    # assigns the built filter (prefiltering_nodelet.cpp:76-78) so RADIUS is a
+    # no-op there; we implement it for real but keep NONE-equivalence as the
+    # flagship default ("RADIUS" in the KITTI launch == no-op in practice).
+    outlier_removal_method: str = "NONE"
+    statistical_mean_k: int = 30
+    statistical_stddev: float = 1.2
+    radius_radius: float = 0.5
+    radius_min_neighbors: int = 5
+    use_angle_calibration: bool = False
+    angle_base: float = 0.11  # degrees, vertical-angle calibration rotation
+    # --- capacities (TPU static shapes) ---
+    raw_cap: int = 131072  # max raw points per scan (KITTI HDL-64 ~130k)
+    out_cap: int = 131072  # max points after filtering
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTConfig:
+    """NDT registration (reference `include/ndt_omp/ndt_omp_impl2.hpp:53-83`
+    defaults; odometry overrides `scan_matching_odom_nodelet.cpp:108-119`)."""
+
+    resolution: float = 1.0
+    step_size: float = 0.1  # More-Thuente step_max
+    outlier_ratio: float = 0.55
+    transformation_epsilon: float = 0.01
+    max_iterations: int = 64
+    # DIRECT1 | DIRECT7 | DIRECT26 (KDTREE mode of the reference is subsumed
+    # by DIRECT modes: odometry uses DIRECT1, loop closure DIRECT7)
+    neighborhood: str = "DIRECT1"
+    # pclpca weighted NDT (True) vs classical pclomp NDT (False)
+    weighted: bool = True
+    min_points_per_voxel: int = 6
+    min_covar_eigvalue_mult: float = 0.01  # eigenvalue inflation, eq 6.11
+    # --- capacities ---
+    leaf_cap: int = 32768  # max occupied voxels per map
+    # dense LUT extent in cells per axis (origin at the data min corner); the
+    # LUT is lut_extent^3 int32. At resolution 1.0 m, 256 cells = a 256 m span.
+    lut_extent: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-keyframe DLO frontend (`scan_matching_odom_nodelet.cpp:65-138`,
+    `launch/dlo_lfa_ggo_kitti.launch:49-53`)."""
+
+    keyframe_delta_trans: float = 10.0
+    keyframe_delta_angle: float = 0.17
+    keyframe_delta_time: float = 1.0
+    initial_guess_x: float = 1.5  # first-scan guess (scan_matching_odom:199-200)
+    ndt: NDTConfig = dataclasses.field(default_factory=NDTConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class LfaConfig:
+    """LOAM-style feature odometry+mapping stage (reference launches the
+    external A-LOAM package; params `launch/dlo_lfa_ggo_kitti.launch:56-61`)."""
+
+    scan_line: int = 64
+    minimum_range: float = 5.0
+    mapping_line_resolution: float = 0.4
+    mapping_plane_resolution: float = 0.8
+    mapping_skip_frame: int = 1
+    # feature picks per ring sector (A-LOAM uses 2 sharp + 4 less-sharp per
+    # sector, 6 sectors; 4 flat + downsampled less-flat)
+    n_sectors: int = 6
+    sharp_per_sector: int = 2
+    less_sharp_per_sector: int = 20
+    flat_per_sector: int = 4
+    # --- capacities ---
+    edge_cap: int = 4096
+    planar_cap: int = 8192
+    map_edge_cap: int = 65536
+    map_planar_cap: int = 131072
+    odom_max_iterations: int = 8
+    mapping_max_iterations: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopDetectorConfig:
+    """Loop detection gates + verification (`include/global_graph/loop_detector.hpp:51-71`,
+    `launch/dlo_lfa_ggo_kitti.launch:104-113`)."""
+
+    distance_thresh: float = 20.0
+    accum_distance_thresh: float = 100.0
+    min_edge_interval: float = 50.0
+    fitness_score_thresh: float = 2.0
+    bow_score_thresh: float = 0.04
+    # registration used for geometric verification
+    registration_method: str = "NDT_OMP"
+    ndt_resolution: float = 1.0
+    ndt_neighborhood: str = "DIRECT7"
+    candidates_cap: int = 8  # top-k BoW candidates verified per new keyframe
+    descriptor_cap: int = 512  # ORB descriptors kept per keyframe
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Pose-graph backend (`global_graph_nodelet.cpp:72-146`,
+    `launch/dlo_lfa_ggo_kitti.launch:95-146`)."""
+
+    solver_num_iterations: int = 1024
+    keyframe_delta_trans: float = 10.0
+    keyframe_delta_angle: float = 0.17
+    max_keyframes_per_update: int = 20
+    graph_update_interval: float = 10.0
+    map_cloud_resolution: float = 0.5
+    # information matrix (information_matrix_calculator.cpp:9-21)
+    use_const_inf_matrix: bool = True
+    const_stddev_x: float = 0.5
+    const_stddev_q: float = 0.1
+    var_gain_a: float = 20.0
+    min_stddev_x: float = 0.1
+    max_stddev_x: float = 5.0
+    min_stddev_q: float = 0.05
+    max_stddev_q: float = 0.2
+    fitness_score_max_range: float = float("inf")
+    # robust kernels
+    odometry_edge_robust_kernel: str = "Huber"
+    odometry_edge_robust_kernel_size: float = 1.0
+    loop_closure_edge_robust_kernel: str = "Huber"
+    loop_closure_edge_robust_kernel_size: float = 1.0
+    # GPS / IMU / floor priors (disabled in the KITTI flagship run)
+    enable_gps: bool = False
+    enable_imu_acceleration: bool = False
+    enable_imu_orientation: bool = False
+    gps_edge_stddev_xy: float = 20.0
+    gps_edge_stddev_z: float = 5.0
+    imu_orientation_edge_stddev: float = 1.0
+    imu_acceleration_edge_stddev: float = 1.0
+    floor_edge_stddev: float = 100.0
+    # --- capacities ---
+    keyframe_cap: int = 1024
+    edge_cap: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline: dlo -> lfa -> ggo (the `dlo_lfa_ggo_kitti` stack)."""
+
+    prefilter: PrefilterConfig = dataclasses.field(default_factory=PrefilterConfig)
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    lfa: Optional[LfaConfig] = dataclasses.field(default_factory=LfaConfig)
+    loop: LoopDetectorConfig = dataclasses.field(default_factory=LoopDetectorConfig)
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    # camera->lidar calibration 3x4 row-major "Tr" (KITTI calib.txt); identity
+    # when absent. Odometry output files are written in the camera frame via
+    # Tr * T * Tr^-1 (scan_matching_odom_nodelet.cpp:156-160).
+    calib_tr: Optional[Tuple[float, ...]] = None
+
+
+def kitti_flagship_config() -> PipelineConfig:
+    """The `dlo_lfa_ggo_kitti.launch` configuration."""
+    return PipelineConfig()

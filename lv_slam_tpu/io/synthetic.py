@@ -1,0 +1,173 @@
+"""Synthetic Velodyne-style LiDAR simulator.
+
+KITTI data is not shipped with this repo, so correctness tests and benchmarks
+run against a procedurally generated urban world (ground plane + building
+boxes + poles) scanned with an HDL-64-like ray pattern along a smooth
+trajectory with known ground truth. The simulated returns follow the same
+shape/density regime as KITTI Velodyne scans (64 rings, ~0.4 deg azimuth
+step, 120 m range), so kernel capacities and performance carry over.
+
+Pure numpy on the host (data generation is not a device workload).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class World:
+    boxes: np.ndarray  # (B, 6): xmin ymin zmin xmax ymax zmax
+    ground_z: float = 0.0
+
+
+def make_world(seed: int = 0, extent: float = 160.0, n_buildings: int = 60, n_poles: int = 80) -> World:
+    rng = np.random.default_rng(seed)
+    boxes: List[np.ndarray] = []
+    # buildings: axis-aligned boxes lining a loose grid of streets
+    for _ in range(n_buildings):
+        cx, cy = rng.uniform(-extent, extent, size=2)
+        # keep a central corridor clear so trajectories stay observable
+        if abs(cy) < 8.0:
+            cy = np.sign(cy or 1.0) * (8.0 + rng.uniform(0, 4))
+        w, d = rng.uniform(6, 24, size=2)
+        h = rng.uniform(4, 20)
+        boxes.append(np.array([cx - w / 2, cy - d / 2, 0.0, cx + w / 2, cy + d / 2, h]))
+    # poles: thin tall boxes (sign posts / trunks)
+    for _ in range(n_poles):
+        cx, cy = rng.uniform(-extent, extent, size=2)
+        if abs(cy) < 2.5:
+            cy = np.sign(cy or 1.0) * (2.5 + rng.uniform(0, 2))
+        r = rng.uniform(0.08, 0.25)
+        h = rng.uniform(2, 8)
+        boxes.append(np.array([cx - r, cy - r, 0.0, cx + r, cy + r, h]))
+    return World(boxes=np.stack(boxes).astype(np.float32))
+
+
+def hdl64_rays(n_rings: int = 64, n_azimuth: int = 900) -> np.ndarray:
+    """(n_rings*n_azimuth, 3) unit directions in the sensor frame.
+
+    HDL-64E vertical field: +2 .. -24.8 degrees.
+    """
+    elev = np.deg2rad(np.linspace(2.0, -24.8, n_rings))
+    azim = np.linspace(-np.pi, np.pi, n_azimuth, endpoint=False)
+    ce, se = np.cos(elev), np.sin(elev)
+    ca, sa = np.cos(azim), np.sin(azim)
+    dirs = np.empty((n_rings, n_azimuth, 3), np.float32)
+    dirs[..., 0] = ce[:, None] * ca[None, :]
+    dirs[..., 1] = ce[:, None] * sa[None, :]
+    dirs[..., 2] = se[:, None]
+    return dirs.reshape(-1, 3)
+
+
+def _raycast(origins: np.ndarray, dirs: np.ndarray, world: World, max_range: float) -> np.ndarray:
+    """Batch ray cast: returns hit distance t (inf when no hit)."""
+    n = dirs.shape[0]
+    t_best = np.full(n, np.inf, np.float32)
+    # ground plane z = ground_z
+    dz = dirs[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ground = (world.ground_z - origins[:, 2]) / dz
+    hit = (dz < -1e-6) & (t_ground > 0.1)
+    t_best = np.where(hit, np.minimum(t_best, t_ground), t_best)
+    # boxes: slab test, vectorized over (rays, boxes) in chunks to bound memory
+    boxes = world.boxes
+    chunk = 16384
+    inv = np.where(np.abs(dirs) > 1e-9, 1.0 / dirs, np.inf).astype(np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        o = origins[s:e, None, :]  # (c,1,3)
+        iv = inv[s:e, None, :]
+        t0 = (boxes[None, :, 0:3] - o) * iv  # (c,B,3)
+        t1 = (boxes[None, :, 3:6] - o) * iv
+        tmin = np.minimum(t0, t1).max(axis=2)
+        tmax = np.maximum(t0, t1).min(axis=2)
+        ok = (tmax >= tmin) & (tmax > 0.1) & (tmin < max_range)
+        tmin = np.where(tmin > 0.1, tmin, np.inf)
+        tmin = np.where(ok, tmin, np.inf)
+        t_best[s:e] = np.minimum(t_best[s:e], tmin.min(axis=1))
+    t_best = np.where(t_best <= max_range, t_best, np.inf)
+    return t_best
+
+
+def simulate_scan(
+    world: World,
+    pose: np.ndarray,
+    rays: Optional[np.ndarray] = None,
+    max_range: float = 120.0,
+    noise_std: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """One scan from world-frame sensor pose (4,4). Returns (M,4) xyz+intensity
+    in the *sensor* frame (like a KITTI velodyne .bin payload)."""
+    if rays is None:
+        rays = hdl64_rays()
+    rot, t = pose[:3, :3].astype(np.float32), pose[:3, 3].astype(np.float32)
+    world_dirs = rays @ rot.T
+    origins = np.broadcast_to(t, world_dirs.shape)
+    dist = _raycast(origins, world_dirs, world, max_range)
+    hit = np.isfinite(dist)
+    rng = np.random.default_rng(seed)
+    dist_noisy = dist[hit] + rng.normal(0.0, noise_std, size=hit.sum()).astype(np.float32)
+    pts_sensor = rays[hit] * dist_noisy[:, None]
+    inten = np.full((hit.sum(), 1), 0.5, np.float32)
+    return np.concatenate([pts_sensor.astype(np.float32), inten], axis=1)
+
+
+def figure8_trajectory(n_poses: int, step: float = 1.0, z: float = 1.73) -> np.ndarray:
+    """(n,4,4) smooth figure-8-ish trajectory with yaw following the tangent.
+
+    `step` approximates the inter-pose arc length in meters (KITTI @ 10 Hz
+    drives ~1 m per scan).
+    """
+    radius = n_poses * step / (4.0 * np.pi)
+    radius = max(radius, 10.0)
+    s = np.arange(n_poses) * step / radius
+    x = radius * np.sin(s)
+    y = radius * np.sin(s) * np.cos(s)
+    dx = np.gradient(x)
+    dy = np.gradient(y)
+    yaw = np.arctan2(dy, dx)
+    poses = np.zeros((n_poses, 4, 4), np.float32)
+    for i in range(n_poses):
+        c, si = np.cos(yaw[i]), np.sin(yaw[i])
+        poses[i] = np.array(
+            [[c, -si, 0, x[i]], [si, c, 0, y[i]], [0, 0, 1, z], [0, 0, 0, 1]],
+            np.float32,
+        )
+    return poses
+
+
+def straight_trajectory(n_poses: int, step: float = 1.0, z: float = 1.73) -> np.ndarray:
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_poses, 1, 1))
+    poses[:, 0, 3] = np.arange(n_poses) * step
+    poses[:, 2, 3] = z
+    return poses
+
+
+def make_sequence(
+    n_scans: int,
+    seed: int = 0,
+    trajectory: str = "figure8",
+    step: float = 1.0,
+    n_rings: int = 64,
+    n_azimuth: int = 900,
+    noise_std: float = 0.01,
+) -> Tuple[List[np.ndarray], np.ndarray, World]:
+    """Returns (scans [list of (M,4) sensor-frame], gt_poses (n,4,4), world)."""
+    world = make_world(seed)
+    if trajectory == "figure8":
+        poses = figure8_trajectory(n_scans, step)
+    elif trajectory == "straight":
+        poses = straight_trajectory(n_scans, step)
+    else:
+        raise ValueError(trajectory)
+    rays = hdl64_rays(n_rings, n_azimuth)
+    scans = [
+        simulate_scan(world, poses[i], rays, noise_std=noise_std, seed=seed + i)
+        for i in range(n_scans)
+    ]
+    return scans, poses, world

@@ -1,0 +1,195 @@
+"""Fused NDT registration: batched derivative pass + Newton loop.
+
+TPU-native rebuild of `pclomp::NormalDistributionsTransform` (classical) and
+`pclpca::NormalDistributionsTransform` (PCA-weighted — the reference's "dlo"
+matcher), from `include/ndt_omp/ndt_omp_impl2.hpp` / `include/ndt_pca/
+ndt_pca_impl2.hpp`. Key algebra (left-multiplicative se(3) perturbation):
+
+For transformed point `y = T x`, voxel residual `d = y - mu`, `q = icov d`:
+
+- point Jacobian      `J = [I | -skew(y)]`                     (impl2:503-564)
+- mixture score       `s = -d1 * exp(-0.5 d2 d^T q)`           (eq. 6.9)
+- gradient            `g += f * J^T q`, `f = d1 d2 e`          (eq. 6.12)
+- Hessian             `H += f * (-d2 (J^T q)(J^T q)^T + T2 + J^T icov J)`
+  where the curvature term `T2(i,j) = q_j y_i - delta_ij (q.y)` for rotation
+  rows/cols (from `e_i x (e_j x y) = e_j y_i - delta_ij y`, impl2:566-620).
+- validity gate: contributions with `d2*e` outside (0,1) or NaN are dropped
+  (impl2:590-592), as are points whose voxel lookup misses.
+- weighted variant: every voxel contribution (score, gradient, Hessian) is
+  scaled by the leaf's PCA weight (`ndt_pca_impl2.hpp:294-296`; exact for the
+  DIRECT1 odometry configuration).
+
+The outer loop replicates the reference's *effective* behavior: its
+More-Thuente line search initializes `interval_converged = (step_max -
+step_min) > 0` (impl2:884) so the search loop never runs under any standard
+configuration — each Newton iteration evaluates one clamped step
+`alpha = clip(|delta|, eps/2, step_size)` and re-evaluates derivatives there.
+We implement exactly that as a `lax.while_loop`, with the Newton direction
+from a ridge-stabilized 6x6 solve (the reference uses JacobiSVD).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lv_slam_tpu.core import se3
+from lv_slam_tpu.core.cloud import PointCloud
+from lv_slam_tpu.ops.voxel_map import VoxelMap, lookup_leaves, neighborhood_offsets
+
+
+class GaussParams(NamedTuple):
+    d1: jax.Array
+    d2: jax.Array
+    d3: jax.Array
+
+
+def make_gauss_params(resolution: float, outlier_ratio: float = 0.55) -> GaussParams:
+    """Magnusson eq. 6.8 mixture constants (impl2:94-99)."""
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / resolution**3
+    d3 = -jnp.log(jnp.float32(c2))
+    d1 = -jnp.log(jnp.float32(c1 + c2)) - d3
+    d2 = -2.0 * jnp.log((-jnp.log(jnp.float32(c1 * jnp.exp(-0.5) + c2)) - d3) / d1)
+    return GaussParams(jnp.float32(d1), jnp.float32(d2), jnp.float32(d3))
+
+
+def ndt_derivatives(
+    vmap_: VoxelMap,
+    src_xyz: jax.Array,
+    src_mask: jax.Array,
+    transform: jax.Array,
+    gauss: GaussParams,
+    offsets: jax.Array,
+    weighted: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One fused derivative pass. Returns (score, gradient (6,), hessian (6,6)).
+
+    The OpenMP point loop with per-thread accumulators (impl2:206-302) becomes
+    a single batched computation reduced over the (N, K) point-neighbor grid.
+    """
+    y = se3.transform_points(transform, src_xyz)  # (N,3) transformed points
+    means, icovs, weights, hit = lookup_leaves(vmap_, y, offsets)  # (N,K,...)
+    hit = hit & src_mask[:, None]
+
+    d = y[:, None, :] - means                        # (N,K,3)
+    q = jnp.einsum("nkij,nkj->nki", icovs, d)        # (N,K,3)
+    md = jnp.sum(d * q, axis=-1)                     # (N,K) Mahalanobis^2
+    e = jnp.exp(-0.5 * gauss.d2 * md)
+    gate_val = gauss.d2 * e
+    gate = hit & (gate_val <= 1.0) & (gate_val >= 0.0) & jnp.isfinite(gate_val)
+    w = jnp.where(gate, weights if weighted else 1.0, 0.0)  # (N,K)
+
+    score = jnp.sum(w * (-gauss.d1 * e))
+
+    f = gauss.d1 * gauss.d2 * e                       # (N,K)
+    # g6 = J^T q = [q ; y x q]
+    yxq = jnp.cross(jnp.broadcast_to(y[:, None, :], q.shape), q)
+    g6 = jnp.concatenate([q, yxq], axis=-1)           # (N,K,6)
+    grad = jnp.einsum("nk,nki->i", w * f, g6)
+
+    # Hessian: -d2 * g6 g6^T  +  T2  +  J^T icov J
+    wf = w * f
+    h_outer = jnp.einsum("nk,nki,nkj->ij", -gauss.d2 * wf, g6, g6)
+
+    # T2 rotation block: q_j y_i - delta_ij (q.y)
+    qy = jnp.sum(q * y[:, None, :], axis=-1)          # (N,K)
+    t2_rot = jnp.einsum("nk,ni,nkj->ij", wf, y, q) \
+        - jnp.sum(wf * qy) * jnp.eye(3, dtype=y.dtype)
+    h_t2 = jnp.zeros((6, 6), y.dtype).at[3:, 3:].add(t2_rot)
+
+    # J^T C J with J = [I | -S], S = skew(y):
+    #   [[C,   -C S], [S C,  -S C S]]
+    c_sum = jnp.einsum("nk,nkij->ij", wf, icovs)                       # sum C
+    # C S and S C terms: (C S)_{ab} = sum_c C_ac S_cb; batched via cross prods:
+    # (C S) columns are C @ skew cols; use einsum with skew built per point.
+    s_mat = se3.skew(y)                                                # (N,3,3)
+    cs = jnp.einsum("nk,nkij,njb->ib", wf, icovs, s_mat)               # sum C S
+    sc = jnp.einsum("nk,nia,nkab->ib", wf, s_mat, icovs)               # sum S C
+    scs = jnp.einsum("nk,nia,nkab,nbj->ij", wf, s_mat, icovs, s_mat)   # sum S C S
+    h_jcj = jnp.zeros((6, 6), y.dtype)
+    h_jcj = h_jcj.at[:3, :3].set(c_sum)
+    h_jcj = h_jcj.at[:3, 3:].set(-cs)
+    h_jcj = h_jcj.at[3:, :3].set(sc)
+    h_jcj = h_jcj.at[3:, 3:].set(-scs)
+
+    hessian = h_outer + h_t2 + h_jcj
+    return score, grad, hessian
+
+
+class NDTResult(NamedTuple):
+    transform: jax.Array       # (4,4) final source->target transform
+    score: jax.Array           # () summed mixture score at the final pose
+    iterations: jax.Array      # () int32
+    converged: jax.Array       # () bool
+    hessian: jax.Array         # (6,6) at the final pose
+    trans_probability: jax.Array  # () score / n_points (impl2:186-187)
+
+
+def ndt_align(
+    vmap_: VoxelMap,
+    source: PointCloud,
+    guess: jax.Array,
+    *,
+    resolution: float,
+    outlier_ratio: float = 0.55,
+    step_size: float = 0.1,
+    transformation_epsilon: float = 0.01,
+    max_iterations: int = 35,
+    neighborhood: str = "DIRECT7",
+    weighted: bool = False,
+) -> NDTResult:
+    """Register `source` onto the voxel map. Jittable; static config args."""
+    gauss = make_gauss_params(resolution, outlier_ratio)
+    offsets = neighborhood_offsets(neighborhood)
+    src_xyz = source.masked_xyz()
+    src_mask = source.mask
+    eps = jnp.float32(transformation_epsilon)
+    step_min = eps / 2.0
+    step_max = jnp.float32(step_size)
+
+    def derivs(transform):
+        return ndt_derivatives(vmap_, src_xyz, src_mask, transform, gauss, offsets, weighted)
+
+    score0, grad0, hess0 = derivs(guess)
+
+    def cond(state):
+        _, _, _, _, it, converged = state
+        return ~converged
+
+    def body(state):
+        transform, score, grad, hess, it, _ = state
+        # Ridge-stabilized Newton solve (reference: JacobiSVD, impl2:137-140).
+        ridge = 1e-6 * jnp.trace(jnp.abs(hess)) / 6.0 + 1e-12
+        delta = jnp.linalg.solve(hess + ridge * jnp.eye(6, hess.dtype), -grad)
+        norm = jnp.linalg.norm(delta)
+        bad = (norm == 0.0) | ~jnp.isfinite(norm)
+        direction = delta / jnp.where(bad, 1.0, norm)
+        # Reverse ascent directions (impl2:858-868).
+        dphi0 = -jnp.dot(grad, direction)
+        direction = jnp.where(dphi0 > 0, -direction, direction)
+        alpha = jnp.clip(norm, step_min, step_max)
+        new_transform = se3.exp_se3(alpha * direction) @ transform
+        new_score, new_grad, new_hess = derivs(new_transform)
+        keep = ~bad
+        transform = jnp.where(keep, new_transform, transform)
+        score = jnp.where(keep, new_score, score)
+        grad = jnp.where(keep, new_grad, grad)
+        hess = jnp.where(keep, new_hess, hess)
+        it = it + 1
+        converged = bad | (it > max_iterations) | (alpha < eps)
+        return transform, score, grad, hess, it, converged
+
+    init = (guess, score0, grad0, hess0, jnp.int32(0), jnp.bool_(False))
+    transform, score, grad, hess, it, converged = jax.lax.while_loop(cond, body, init)
+    n_pts = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
+    return NDTResult(
+        transform=transform,
+        score=score,
+        iterations=it,
+        converged=converged,
+        hessian=hess,
+        trans_probability=score / n_pts,
+    )

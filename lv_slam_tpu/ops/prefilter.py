@@ -1,0 +1,127 @@
+"""Scan prefiltering: distance band, voxel downsampling, outlier removal.
+
+Behavioral rebuild of `src/lidar_odometry/prefiltering_nodelet.cpp`:
+- distance band-pass keeps `near < |p| < far` (:163-181)
+- VOXELGRID downsample = per-voxel centroid; APPROX_VOXELGRID = cell center
+  (:43-59). Implemented with one sort + segment reductions instead of PCL.
+- STATISTICAL outlier removal (:61-81): mean distance to k nearest neighbors,
+  keep points within `mean + stddev_mult * std` of the global distribution.
+  (The reference's RADIUS branch is a no-op bug — it never assigns the built
+  filter (:76-78) — so the flagship KITTI config effectively runs NONE.)
+- optional per-point vertical-angle calibration (:183-220): rotate each point
+  by `angle_base` degrees about `z x p` (the horizontal axis orthogonal to p).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lv_slam_tpu.config import PrefilterConfig
+from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
+
+
+def distance_filter(cloud: PointCloud, near: float, far: float) -> PointCloud:
+    dist = jnp.linalg.norm(cloud.xyz, axis=1)
+    keep = cloud.mask & (dist > near) & (dist < far)
+    xyz = jnp.where(keep[:, None], cloud.xyz, SENTINEL)
+    return PointCloud(xyz, cloud.intensity, keep)
+
+
+def vertical_angle_calibration(cloud: PointCloud, angle_base_deg: float) -> PointCloud:
+    """Rotate each point `angle_base` degrees about the axis `p x z` (unit),
+    lifting rays slightly — the reference's per-point HDL-64 elevation fix
+    (`prefiltering_nodelet.cpp:183-220`)."""
+    from lv_slam_tpu.core import se3
+
+    p = cloud.xyz
+    z = jnp.array([0.0, 0.0, 1.0], dtype=p.dtype)
+    axis = jnp.cross(p, z)
+    norm = jnp.linalg.norm(axis, axis=1, keepdims=True)
+    axis = axis / jnp.maximum(norm, 1e-12)
+    angle = jnp.deg2rad(jnp.float32(angle_base_deg))
+    rot = se3.exp_so3(axis * angle)  # (N,3,3)
+    xyz = jnp.einsum("nij,nj->ni", rot, p)
+    xyz = jnp.where(cloud.mask[:, None], xyz, SENTINEL)
+    return PointCloud(xyz, cloud.intensity, cloud.mask)
+
+
+def voxel_downsample(
+    cloud: PointCloud,
+    resolution: float,
+    out_cap: int,
+    method: str = "VOXELGRID",
+) -> PointCloud:
+    """Centroid (VOXELGRID) or cell-center (APPROX_VOXELGRID) downsampling.
+
+    Compacts surviving voxels to the front of a fresh `out_cap` cloud.
+    """
+    n = cloud.cap
+    res = jnp.float32(resolution)
+    xyz = cloud.masked_xyz()
+    mask = cloud.mask
+
+    coords = jnp.floor(xyz / res).astype(jnp.int32)
+    # Rank-based keys: lexicographic sort on (x, y, z) via two stable sorts of
+    # composite int32 keys — no global bound on the coordinate range needed.
+    kx, ky, kz = coords[:, 0], coords[:, 1], coords[:, 2]
+    k_hi = jnp.where(mask, kx, jnp.int32(2**30))
+    # Three stable sorts (z, then y, then x) give full lexicographic order with
+    # no bound on the coordinate range; equal (x,y,z) triples end contiguous.
+    order = jnp.argsort(kz, stable=True)
+    order = order[jnp.argsort(ky[order], stable=True)]
+    order = order[jnp.argsort(k_hi[order], stable=True)]
+
+    sc = coords[order]
+    sxyz = xyz[order]
+    sint = cloud.intensity[order]
+    smask = mask[order]
+
+    same = jnp.all(sc[1:] == sc[:-1], axis=1) & smask[1:] & smask[:-1]
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    seg_id = jnp.where(smask, seg_id, n)  # invalid lanes -> scratch bucket
+    num_seg = n + 1
+
+    ones = smask.astype(jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg_id, num_segments=num_seg)[:n]
+    cnt = jnp.maximum(counts, 1.0)
+    if method.upper() == "APPROX_VOXELGRID":
+        cell = jax.ops.segment_max(
+            jnp.where(smask[:, None], sc, -(2**30)), seg_id, num_segments=num_seg
+        )[:n]
+        pts = (cell.astype(jnp.float32) + 0.5) * res
+    else:
+        sums = jax.ops.segment_sum(jnp.where(smask[:, None], sxyz, 0.0), seg_id, num_segments=num_seg)[:n]
+        pts = sums / cnt[:, None]
+    isum = jax.ops.segment_sum(jnp.where(smask, sint, 0.0), seg_id, num_segments=num_seg)[:n]
+    inten = isum / cnt
+    valid = counts > 0
+
+    out = PointCloud(
+        jnp.where(valid[:, None], pts, SENTINEL), jnp.where(valid, inten, 0.0), valid
+    )
+    return out.compact(out_cap)
+
+
+def prefilter(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
+    """Full prefiltering chain (`prefiltering_nodelet.cpp:92-135`)."""
+    out = cloud
+    if cfg.use_angle_calibration:
+        out = vertical_angle_calibration(out, cfg.angle_base)
+    if cfg.use_distance_filter:
+        out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
+    method = cfg.downsample_method.upper()
+    if method in ("VOXELGRID", "APPROX_VOXELGRID"):
+        out = voxel_downsample(out, cfg.downsample_resolution, cfg.out_cap, method)
+    else:
+        out = out.compact(cfg.out_cap)
+    if cfg.outlier_removal_method.upper() == "STATISTICAL":
+        from lv_slam_tpu.ops.nn import statistical_outlier_removal
+
+        out = statistical_outlier_removal(out, cfg.statistical_mean_k, cfg.statistical_stddev)
+    elif cfg.outlier_removal_method.upper() == "RADIUS":
+        from lv_slam_tpu.ops.nn import radius_outlier_removal
+
+        out = radius_outlier_removal(out, cfg.radius_radius, cfg.radius_min_neighbors)
+    return out
