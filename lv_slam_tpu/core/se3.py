@@ -33,12 +33,14 @@ def skew(v: jax.Array) -> jax.Array:
 
 
 def _sinc_factors(theta_sq: jax.Array):
-    """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t-sin t)/t^3), Taylor-guarded."""
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    small = theta < _SMALL_ANGLE
-    # Guard the argument so the non-Taylor branch never divides by ~0.
-    safe_t = jnp.where(small, 1.0, theta)
+    """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t-sin t)/t^3), Taylor-guarded.
+
+    The sqrt argument is guarded *before* the sqrt so autodiff never sees
+    d(sqrt)/dx at 0 (which would leak NaN through jnp.where).
+    """
+    small = theta_sq < _SMALL_ANGLE * _SMALL_ANGLE
     safe_tsq = jnp.where(small, 1.0, theta_sq)
+    safe_t = jnp.sqrt(safe_tsq)
     a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(safe_t) / safe_t)
     b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(safe_t)) / safe_tsq)
     c = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (safe_t - jnp.sin(safe_t)) / (safe_tsq * safe_t))

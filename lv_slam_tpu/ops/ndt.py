@@ -163,7 +163,7 @@ def ndt_align(
         transform, score, grad, hess, it, _ = state
         # Ridge-stabilized Newton solve (reference: JacobiSVD, impl2:137-140).
         ridge = 1e-6 * jnp.trace(jnp.abs(hess)) / 6.0 + 1e-12
-        delta = jnp.linalg.solve(hess + ridge * jnp.eye(6, hess.dtype), -grad)
+        delta = jnp.linalg.solve(hess + ridge * jnp.eye(6, dtype=hess.dtype), -grad)
         norm = jnp.linalg.norm(delta)
         bad = (norm == 0.0) | ~jnp.isfinite(norm)
         direction = delta / jnp.where(bad, 1.0, norm)
