@@ -1,0 +1,55 @@
+import dataclasses
+
+import numpy as np
+
+from lv_slam_tpu.config import NDTConfig, OdometryConfig, PrefilterConfig
+from lv_slam_tpu.io import synthetic
+from lv_slam_tpu.odometry.dlo import run_sequence
+
+_CAP = 32768
+_NDT = NDTConfig(leaf_cap=16384, lut_extent=256)
+
+
+def _relative_errors(gt, est):
+    errs_t = []
+    for i in range(1, len(gt)):
+        rel_gt = np.linalg.inv(gt[i - 1]) @ gt[i]
+        rel_est = np.linalg.inv(est[i - 1]) @ est[i]
+        errs_t.append(np.linalg.norm((np.linalg.inv(rel_est) @ rel_gt)[:3, 3]))
+    return np.array(errs_t)
+
+
+def test_dlo_tracks_synthetic_sequence(small_sequence):
+    """Phase-4 gate (minimum end-to-end slice): scan-to-keyframe weighted-NDT
+    odometry tracks a synthetic sequence with small per-scan error."""
+    scans, gt_poses, _ = small_sequence
+    cfg = OdometryConfig(ndt=_NDT)
+    est, stats = run_sequence(scans, cfg=cfg, cap=_CAP)
+    assert stats.scan_count == len(scans)
+    # ground truth is sensor-in-world; odometry is sensor-in-first-frame
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
+    errs = _relative_errors(gt_rel, est)
+    assert errs.max() < 0.12, errs
+    final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3])
+    assert final_err < 0.25, final_err
+
+
+def test_dlo_keyframe_switching(small_sequence):
+    scans, _, _ = small_sequence
+    # force a keyframe switch every ~2 m of travel
+    cfg = OdometryConfig(keyframe_delta_trans=2.0, keyframe_delta_time=1e9, ndt=_NDT)
+    est, stats = run_sequence(scans, cfg=cfg, cap=_CAP)
+    assert stats.keyframe_count >= 2
+    # trajectory should still be smooth across the keyframe switch
+    steps = np.linalg.norm(np.diff(est[:, :3, 3], axis=0), axis=1)
+    assert np.all(steps < 1.6) and np.all(steps > 0.4), steps
+
+
+def test_dlo_with_prefilter(small_sequence):
+    scans, gt_poses, _ = small_sequence
+    pf = PrefilterConfig(raw_cap=_CAP, out_cap=_CAP)
+    cfg = OdometryConfig(ndt=_NDT)
+    est, stats = run_sequence(scans[:3], cfg=cfg, prefilter_cfg=pf, cap=_CAP)
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses[:3])
+    errs = _relative_errors(gt_rel, est)
+    assert errs.max() < 0.12, errs
