@@ -1,0 +1,87 @@
+"""Benchmark: full scan-in/pose-out DLO loop throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference runs KITTI bags in real time at the Velodyne rate
+(10 scans/s, `README.md:128,133`) on a desktop CPU; `vs_baseline` is the
+speedup over that 10 scans/s real-time rate. The driver-set north star is
+>= 100 scans/s/chip (BASELINE.json).
+
+The workload replays a synthetic HDL-64-density sequence (64 rings x 900
+azimuth, ~45k returns/scan — KITTI-like after the 0.1 m prefilter) through
+the flagship configuration: PCA-weighted NDT, DIRECT1, eps 0.01, <=64
+iterations, 10 m/0.17 rad/1 s keyframe gates, keyframe map rebuilds included.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/lv_slam_jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    n_scans = int(os.environ.get("BENCH_SCANS", "40"))
+    from lv_slam_tpu.config import NDTConfig, OdometryConfig
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.io import synthetic
+    from lv_slam_tpu.odometry.dlo import DirectLidarOdometry
+
+    scans, gt_poses, _ = synthetic.make_sequence(
+        n_scans, seed=5, trajectory="figure8", step=1.0, n_rings=64, n_azimuth=900
+    )
+    cap = 65536
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+
+    cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=32768, lut_extent=256))
+    odo = DirectLidarOdometry(cfg)
+
+    # Warm-up: first 3 scans trigger all compiles (map build, align, re-align).
+    warm = 3
+    for i in range(warm):
+        odo.process(clouds[i], i * 0.1)
+
+    t0 = time.perf_counter()
+    for i in range(warm, n_scans):
+        odo.process(clouds[i], i * 0.1)
+    jax.block_until_ready(odo._key_map.means)
+    elapsed = time.perf_counter() - t0
+
+    timed = n_scans - warm
+    scans_per_sec = timed / elapsed
+
+    # sanity: trajectory must actually track (throughput of a diverged run is
+    # meaningless)
+    est = np.stack(odo.poses)
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
+    final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3])
+    drift_ok = final_err < 0.02 * max(1.0, n_scans)  # < 2% of distance
+
+    result = {
+        "metric": "dlo_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 10.0, 2),
+        "extra": {
+            "n_scans": timed,
+            "keyframes": odo.stats.keyframe_count,
+            "mean_align_iters": odo.stats.total_iterations / max(1, timed),
+            "final_traj_err_m": round(float(final_err), 4),
+            "tracking_ok": bool(drift_ok),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,14 +117,18 @@ def simulate_scan(
     return np.concatenate([pts_sensor.astype(np.float32), inten], axis=1)
 
 
-def figure8_trajectory(n_poses: int, step: float = 1.0, z: float = 1.73) -> np.ndarray:
+def figure8_trajectory(
+    n_poses: int, step: float = 1.0, z: float = 1.73, radius: Optional[float] = None
+) -> np.ndarray:
     """(n,4,4) smooth figure-8-ish trajectory with yaw following the tangent.
 
     `step` approximates the inter-pose arc length in meters (KITTI @ 10 Hz
-    drives ~1 m per scan).
+    drives ~1 m per scan). The default radius keeps the peak yaw rate within
+    realistic vehicle dynamics (~0.05 rad per scan at 10 Hz); the reference
+    pipeline (and NDT's convergence basin) assumes that regime.
     """
-    radius = n_poses * step / (4.0 * np.pi)
-    radius = max(radius, 10.0)
+    if radius is None:
+        radius = max(n_poses * step / (4.0 * np.pi), 25.0)
     s = np.arange(n_poses) * step / radius
     x = radius * np.sin(s)
     y = radius * np.sin(s) * np.cos(s)

@@ -156,11 +156,10 @@ def ndt_align(
     score0, grad0, hess0 = derivs(guess)
 
     def cond(state):
-        _, _, _, _, it, converged = state
-        return ~converged
+        return ~state[-1]
 
     def body(state):
-        transform, score, grad, hess, it, _ = state
+        transform, score, grad, hess, cap, it, _ = state
         # Ridge-stabilized Newton solve (reference: JacobiSVD, impl2:137-140).
         ridge = 1e-6 * jnp.trace(jnp.abs(hess)) / 6.0 + 1e-12
         delta = jnp.linalg.solve(hess + ridge * jnp.eye(6, dtype=hess.dtype), -grad)
@@ -170,20 +169,28 @@ def ndt_align(
         # Reverse ascent directions (impl2:858-868).
         dphi0 = -jnp.dot(grad, direction)
         direction = jnp.where(dphi0 > 0, -direction, direction)
-        alpha = jnp.clip(norm, step_min, step_max)
+        alpha = jnp.clip(norm, step_min, cap)
         new_transform = se3.exp_se3(alpha * direction) @ transform
         new_score, new_grad, new_hess = derivs(new_transform)
-        keep = ~bad
-        transform = jnp.where(keep, new_transform, transform)
-        score = jnp.where(keep, new_score, score)
-        grad = jnp.where(keep, new_grad, grad)
-        hess = jnp.where(keep, new_hess, hess)
+        # Monotone-score guard: the reference's More-Thuente loop is dead code
+        # (impl2:884 initializes interval_converged=true), so its Newton can
+        # limit-cycle across voxel boundaries. Enforcing sufficient decrease
+        # ourselves (accept only non-worsening steps; otherwise halve the step
+        # cap and retry) recovers the line search's intent at one derivative
+        # pass per trial.
+        accept = ~bad & (new_score >= score)
+        transform = jnp.where(accept, new_transform, transform)
+        score = jnp.where(accept, new_score, score)
+        grad = jnp.where(accept, new_grad, grad)
+        hess = jnp.where(accept, new_hess, hess)
+        cap = jnp.where(accept, step_max, jnp.maximum(cap * 0.5, step_min))
         it = it + 1
-        converged = bad | (it > max_iterations) | (alpha < eps)
-        return transform, score, grad, hess, it, converged
+        shrunk_out = ~accept & (alpha <= step_min)
+        converged = bad | (it > max_iterations) | (accept & (alpha < eps)) | shrunk_out
+        return transform, score, grad, hess, cap, it, converged
 
-    init = (guess, score0, grad0, hess0, jnp.int32(0), jnp.bool_(False))
-    transform, score, grad, hess, it, converged = jax.lax.while_loop(cond, body, init)
+    init = (guess, score0, grad0, hess0, step_max, jnp.int32(0), jnp.bool_(False))
+    transform, score, grad, hess, _, it, converged = jax.lax.while_loop(cond, body, init)
     n_pts = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
     return NDTResult(
         transform=transform,
