@@ -118,6 +118,17 @@ class LoopDetectorConfig:
     registration_method: str = "NDT_OMP"
     ndt_resolution: float = 1.0
     ndt_neighborhood: str = "DIRECT7"
+    # Coarse-to-fine refinement ladder run before `ndt_resolution`. The
+    # reference verifies with a single res-1.0 NDT whose convergence basin is
+    # under a meter; drifted loop guesses routinely exceed that. Each coarser
+    # stage widens the basin proportionally (improvement over reference).
+    multiscale: Tuple[float, ...] = (4.0, 2.0)
+    # Reject verified loops whose pose deviates from the graph-estimate guess
+    # by more than this (m / rad): in self-similar scenes a wrong alignment
+    # can score as well as the true one, but genuine loop corrections are
+    # bounded by accumulated drift (improvement over reference).
+    max_guess_correction_trans: float = 5.0
+    max_guess_correction_rot: float = 0.5
     candidates_cap: int = 8  # top-k BoW candidates verified per new keyframe
     descriptor_cap: int = 512  # ORB descriptors kept per keyframe
 

@@ -1,0 +1,355 @@
+"""Global graph backend: windowed keyframes -> loops -> pose-graph LM.
+
+Rebuild of `GlobalGraphNodelet` (`src/global_graph/global_graph_nodelet.cpp`).
+The ROS callback graph becomes explicit methods on one host object:
+
+- `add_scan` = `cloud_callback` (:154-245): per-scan odometry is recorded for
+  the wf dump; scans between keyframe triggers are motion-composed into the
+  current window (`w_odom^-1 odom`) and concatenated; on a trigger the window
+  is voxel-downsampled (0.1 m) into a KeyFrame (with ORB descriptors when an
+  image is attached) and queued.
+- `optimize` = `optimization_timer_callback` (:670-764): flush <=
+  `max_keyframes_per_update` queued keyframes into the graph (SE3 node +
+  consecutive edge with the information calculator + Huber), run loop
+  detection over the new keyframes, add loop edges, LM-optimize, re-anchor
+  every estimate to keyframe 0, and refresh `trans_odom2map`.
+- `dump` / `save_map` = the two ROS services (:979-1070): graph.g2o +
+  .kernels sidecar, per-keyframe `%06d/` dirs (data + cloud.pcd),
+  special_nodes.csv, `ggo_kf_odom.txt` / `ggo_wf_odom.txt` (camera frame via
+  the calib Tr conjugation), and the octree-deduped map PCD.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lv_slam_tpu.config import GraphConfig, LoopDetectorConfig
+from lv_slam_tpu.core.cloud import PointCloud
+from lv_slam_tpu.graph import g2o_io, pose_graph as pg
+from lv_slam_tpu.graph.information_matrix import calc_information_matrix
+from lv_slam_tpu.graph.keyframe import KeyFrame, KeyframeUpdater
+from lv_slam_tpu.graph.loop_detector import Loop, LoopDetector
+from lv_slam_tpu.graph.map_cloud import generate_map_cloud
+from lv_slam_tpu.io import kitti, pcd
+from lv_slam_tpu.ops.prefilter import voxel_downsample
+
+
+class GlobalGraph:
+    def __init__(
+        self,
+        cfg: Optional[GraphConfig] = None,
+        loop_cfg: Optional[LoopDetectorConfig] = None,
+        calib_tr: Optional[np.ndarray] = None,
+        keyframe_cloud_cap: int = 131072,
+        vocabulary=None,
+    ):
+        self.cfg = cfg or GraphConfig()
+        self.loop_cfg = loop_cfg or LoopDetectorConfig()
+        self.tr = np.eye(4) if calib_tr is None else np.asarray(calib_tr, np.float64)
+        self.keyframe_cloud_cap = keyframe_cloud_cap
+
+        self.graph = pg.empty_graph(self.cfg.keyframe_cap, self.cfg.edge_cap)
+        self.updater = KeyframeUpdater(self.cfg.keyframe_delta_trans, self.cfg.keyframe_delta_angle)
+        self.loop_detector = LoopDetector(self.loop_cfg, vocabulary=vocabulary)
+
+        self.keyframes: List[KeyFrame] = []
+        self.new_keyframes: List[KeyFrame] = []
+        self.keyframe_queue: List[KeyFrame] = []
+        self.loops: List[Loop] = []
+        self.odoms: Dict[int, np.ndarray] = {}
+        self.trans_odom2map = np.eye(4)
+        self._n_edges = 0
+        self._n_priors = 0
+        self._orb = None
+
+        # window accumulation state
+        self._w_parts: List[np.ndarray] = []
+        self._w_odom: Optional[np.ndarray] = None
+        self._w_seq = -1
+        self._w_stamp = 0.0
+        self._w_image = None
+        self._w_accum = 0.0
+
+        self._downsample = jax.jit(
+            lambda c: voxel_downsample(c, 0.1, self.keyframe_cloud_cap)
+        )
+
+    # ------------------------------------------------------------------ scans
+    def add_scan(
+        self,
+        seq: int,
+        stamp: float,
+        odom: np.ndarray,
+        cloud: PointCloud,
+        image: Optional[np.ndarray] = None,
+    ) -> None:
+        odom = np.asarray(odom, np.float64)
+        self.odoms[seq] = odom
+        if self.updater.update(odom):
+            if self._w_odom is not None:
+                self._flush_window()
+            self._w_parts = [cloud.to_numpy()]
+            self._w_odom = odom
+            self._w_seq = seq
+            self._w_stamp = stamp
+            self._w_image = image
+            self._w_accum = self.updater.accum_distance
+        elif self._w_odom is not None:
+            rel = np.linalg.inv(self._w_odom) @ odom
+            pts = cloud.to_numpy()
+            pts[:, :3] = pts[:, :3] @ rel[:3, :3].T + rel[:3, 3]
+            self._w_parts.append(pts)
+
+    def _flush_window(self) -> None:
+        merged = np.concatenate(self._w_parts, axis=0)
+        cap = 1
+        while cap < merged.shape[0]:
+            cap *= 2
+        window = PointCloud.from_numpy(merged, cap=cap)
+        downsampled = self._downsample(window.compact(self.keyframe_cloud_cap * 4)
+                                       if cap > self.keyframe_cloud_cap * 4 else window)
+        descriptor = keypoints = None
+        if self._w_image is not None:
+            descriptor, keypoints = self._extract_orb(self._w_image)
+        kf = KeyFrame(
+            stamp=self._w_stamp,
+            seq=self._w_seq,
+            odom=self._w_odom,
+            accum_distance=self._w_accum,
+            cloud=downsampled,
+            descriptor=descriptor,
+            keypoints=keypoints,
+        )
+        self.keyframe_queue.append(kf)
+
+    def finish(self) -> None:
+        """Flush the trailing window (the reference drops it; we keep it so
+        short sequences still produce their last keyframe)."""
+        if self._w_odom is not None and self._w_parts:
+            self._flush_window()
+            self._w_parts, self._w_odom = [], None
+
+    def _extract_orb(self, image: np.ndarray):
+        from lv_slam_tpu.ops import orb
+
+        if self._orb is None:
+            self._orb = orb.OrbExtractor(max_features=self.loop_cfg.descriptor_cap)
+        return self._orb.detect_and_compute(image)
+
+    # --------------------------------------------------------------- optimize
+    def optimize(self, num_iterations: Optional[int] = None):
+        """One `optimization_timer_callback` cycle. Returns the LM result or
+        None when nothing new arrived."""
+        cfg = self.cfg
+        updated = self._flush_keyframe_queue()
+        if not updated:
+            return None
+
+        loops = self.loop_detector.detect(self.keyframes, self.new_keyframes)
+        for loop in loops:
+            info = np.asarray(
+                calc_information_matrix(loop.key1.cloud, loop.key2.cloud, loop.relative_pose, cfg)
+            )
+            self.graph = pg.add_se3_edge(
+                self.graph,
+                self._n_edges,
+                loop.key1.node_id,
+                loop.key2.node_id,
+                loop.relative_pose,
+                info,
+                huber=_huber_size(cfg.loop_closure_edge_robust_kernel, cfg.loop_closure_edge_robust_kernel_size),
+            )
+            self._n_edges += 1
+            self.loops.append(loop)
+
+        self.keyframes.extend(self.new_keyframes)
+        self.new_keyframes = []
+
+        result = pg.optimize_pose_graph(
+            self.graph, num_iterations or cfg.solver_num_iterations
+        )
+        poses = np.asarray(result.poses, np.float64)
+        self.graph = self.graph._replace(poses=result.poses)
+        for kf in self.keyframes:
+            kf.estimate = poses[kf.node_id]
+
+        last = self.keyframes[-1]
+        self.trans_odom2map = last.estimate @ np.linalg.inv(last.odom)
+        return result
+
+    def _flush_keyframe_queue(self) -> bool:
+        if not self.keyframe_queue:
+            return False
+        cfg = self.cfg
+        odom2map = self.trans_odom2map
+        n = min(len(self.keyframe_queue), cfg.max_keyframes_per_update)
+        for i in range(n):
+            kf = self.keyframe_queue[i]
+            kf.node_id = len(self.keyframes) + len(self.new_keyframes)
+            self.new_keyframes.append(kf)
+            pose0 = odom2map @ kf.odom
+            self.graph = pg.add_node(self.graph, kf.node_id, pose0)
+            kf.estimate = pose0
+            if kf.node_id == 0:
+                continue
+            prev = (
+                self.keyframes[-1]
+                if i == 0 and self.keyframes
+                else self.new_keyframes[-2]
+            )
+            relative = np.linalg.inv(kf.odom) @ prev.odom
+            info = np.asarray(calc_information_matrix(prev.cloud, kf.cloud, relative, cfg))
+            self.graph = pg.add_se3_edge(
+                self.graph,
+                self._n_edges,
+                kf.node_id,
+                prev.node_id,
+                relative,
+                info,
+                huber=_huber_size(cfg.odometry_edge_robust_kernel, cfg.odometry_edge_robust_kernel_size),
+            )
+            self._n_edges += 1
+        del self.keyframe_queue[:n]
+        return True
+
+    # --------------------------------------------------------------- priors
+    def add_gps_prior(self, kf: KeyFrame, xyz: np.ndarray) -> None:
+        cfg = self.cfg
+        info = np.diag(
+            [1.0 / cfg.gps_edge_stddev_xy, 1.0 / cfg.gps_edge_stddev_xy, 1.0 / cfg.gps_edge_stddev_z]
+        )
+        self.graph = pg.add_prior(
+            self.graph, self._n_priors, kf.node_id, pg.PRIOR_XYZ, xyz, info, huber=1.0
+        )
+        self._n_priors += 1
+        kf.utm_coord = np.asarray(xyz)
+
+    def add_imu_orientation_prior(self, kf: KeyFrame, quat_wxyz: np.ndarray) -> None:
+        cfg = self.cfg
+        info = np.eye(3) / cfg.imu_orientation_edge_stddev
+        self.graph = pg.add_prior(
+            self.graph, self._n_priors, kf.node_id, pg.PRIOR_QUAT, quat_wxyz, info, huber=1.0
+        )
+        self._n_priors += 1
+        kf.orientation = np.asarray(quat_wxyz)
+
+    def add_imu_acceleration_prior(self, kf: KeyFrame, acc_local: np.ndarray) -> None:
+        cfg = self.cfg
+        info = np.eye(3) / cfg.imu_acceleration_edge_stddev
+        meas = np.concatenate([[0.0, 0.0, 1.0], acc_local / max(np.linalg.norm(acc_local), 1e-9)])
+        self.graph = pg.add_prior(
+            self.graph, self._n_priors, kf.node_id, pg.PRIOR_VEC, meas, info, huber=1.0
+        )
+        self._n_priors += 1
+        kf.acceleration = np.asarray(acc_local)
+
+    def add_floor_prior(self, kf: KeyFrame, coeffs: np.ndarray) -> None:
+        cfg = self.cfg
+        info = np.eye(4) / cfg.floor_edge_stddev
+        self.graph = pg.add_prior(
+            self.graph, self._n_priors, kf.node_id, pg.PRIOR_PLANE, coeffs, info, huber=1.0
+        )
+        self._n_priors += 1
+        kf.floor_coeffs = np.asarray(coeffs)
+
+    # --------------------------------------------------------------- services
+    def dump(self, directory: str) -> bool:
+        """`/global_graph/dump` (:979-1027)."""
+        os.makedirs(directory, exist_ok=True)
+        g2o_io.save_graph(os.path.join(directory, "graph.g2o"), self.graph)
+        for i, kf in enumerate(self.keyframes):
+            kf_dir = os.path.join(directory, f"{i:06d}")
+            os.makedirs(kf_dir, exist_ok=True)
+            with open(os.path.join(kf_dir, "data"), "w") as f:
+                f.write(f"stamp {kf.stamp:.9f}\n")
+                f.write(f"seq {kf.seq}\n")
+                f.write("odom\n")
+                for row in kf.odom:
+                    f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
+                f.write(f"accum_distance {kf.accum_distance:.9g}\n")
+                if kf.estimate is not None:
+                    f.write("estimate\n")
+                    for row in kf.estimate:
+                        f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
+                f.write(f"id {kf.node_id}\n")
+            pcd.write_pcd(os.path.join(kf_dir, "cloud.pcd"), kf.cloud.to_numpy())
+        with open(os.path.join(directory, "special_nodes.csv"), "w") as f:
+            f.write("anchor_node -1\n")
+            f.write("anchor_edge -1\n")
+            f.write("floor_node -1\n")
+        self.save_pose(directory)
+        return True
+
+    def save_map(self, destination: str, resolution: float = 0.05) -> bool:
+        """`/global_graph/save_map` (:1035-1070)."""
+        if not self.keyframes:
+            return False
+        clouds = [kf.cloud for kf in self.keyframes]
+        poses = [kf.estimate if kf.estimate is not None else kf.odom for kf in self.keyframes]
+        points = generate_map_cloud(clouds, poses, resolution)
+        if points.shape[0] == 0:
+            return False
+        pcd.write_pcd(destination, points)
+        return True
+
+    def save_pose(self, directory: str) -> None:
+        """ggo_kf_odom.txt + ggo_wf_odom.txt (:1077-1149). The wf file
+        distributes each keyframe's optimization residual across its scans;
+        the reference's interpolation has a slerp-extrapolation quirk
+        (q0.slerp(seq1-seq0, q1) with an out-of-range parameter, :1131) — we
+        apply the mathematically intended per-scan fraction instead."""
+        kf_poses = np.stack(
+            [kf.estimate if kf.estimate is not None else kf.odom for kf in self.keyframes]
+        )
+        kitti.write_pose_file(
+            os.path.join(directory, "ggo_kf_odom.txt"),
+            kitti.velo_to_cam_poses(kf_poses, self.tr),
+        )
+
+        align = np.linalg.inv(kf_poses[0])
+        wf = []
+        for i, kf in enumerate(self.keyframes):
+            kf_pose = align @ kf_poses[i]
+            seq0 = kf.seq
+            if seq0 not in self.odoms:
+                continue
+            odom0 = self.odoms[seq0]
+            if i < len(self.keyframes) - 1:
+                nxt = self.keyframes[i + 1]
+                seq1 = nxt.seq
+                if seq1 not in self.odoms:
+                    continue
+                kf_pose_next = align @ kf_poses[i + 1]
+                d_pose = np.linalg.inv(kf_pose) @ kf_pose_next
+                d_odom = np.linalg.inv(odom0) @ self.odoms[seq1]
+                resid = np.linalg.inv(d_odom) @ d_pose
+            else:
+                seq1 = max(self.odoms.keys()) + 1
+                resid = np.eye(4)
+            span = max(seq1 - seq0, 1)
+            from lv_slam_tpu.core import se3 as se3m
+
+            resid_log = np.asarray(se3m.log_se3(jnp.asarray(resid, jnp.float32)), np.float64)
+            for j in range(seq0, seq1):
+                if j not in self.odoms:
+                    continue
+                pose_s2k = np.linalg.inv(odom0) @ self.odoms[j]
+                frac = (j - seq0) / span
+                corr = np.asarray(
+                    se3m.exp_se3(jnp.asarray(frac * resid_log, jnp.float32)), np.float64
+                )
+                wf.append(kf_pose @ pose_s2k @ corr)
+        if wf:
+            kitti.write_pose_file(
+                os.path.join(directory, "ggo_wf_odom.txt"),
+                kitti.velo_to_cam_poses(np.stack(wf), self.tr),
+            )
+
+
+def _huber_size(kind: str, size: float) -> float:
+    return size if (kind or "NONE").upper() == "HUBER" else 0.0

@@ -1,0 +1,135 @@
+import os
+
+import numpy as np
+import pytest
+
+from lv_slam_tpu.config import GraphConfig, LoopDetectorConfig
+from lv_slam_tpu.core import se3
+from lv_slam_tpu.core.cloud import PointCloud
+from lv_slam_tpu.io import synthetic
+from lv_slam_tpu.pipeline.backend import GlobalGraph
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def circle_run():
+    """A closed-circle drive with drifting odometry: scans + GT + noisy odom."""
+    n = 56
+    radius = 20.0
+    # dense world: loop verification needs enough vertical structure to pin
+    # the pose (sparse scenes are ground-degenerate for any fitness metric)
+    world = synthetic.make_world(seed=9, n_buildings=140, n_poles=240)
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gt = []
+    for a in angles:
+        yaw = a + np.pi / 2
+        c, s = np.cos(yaw), np.sin(yaw)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        pose[:3, 3] = [radius * np.cos(a), radius * np.sin(a), 1.73]
+        gt.append(pose)
+    gt = np.stack(gt)
+    rays = synthetic.hdl64_rays(32, 450)
+    scans = [synthetic.simulate_scan(world, gt[i], rays, seed=100 + i) for i in range(n)]
+
+    # drifting odometry: relative GT composed with a small systematic yaw bias
+    rng = np.random.default_rng(4)
+    odoms = [np.linalg.inv(gt[0]) @ gt[0]]
+    bias = np.asarray(se3.exp_se3(jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.0, 0.0015], jnp.float32)))
+    for i in range(1, n):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i] @ bias
+        odoms.append(odoms[-1] @ rel)
+    return scans, gt, np.stack(odoms)
+
+
+def _build_backend():
+    cfg = GraphConfig(
+        keyframe_delta_trans=5.0,
+        keyframe_cap=64,
+        edge_cap=256,
+        solver_num_iterations=64,
+    )
+    loop_cfg = LoopDetectorConfig(
+        distance_thresh=10.0,
+        accum_distance_thresh=60.0,
+        min_edge_interval=5.0,
+        fitness_score_thresh=2.0,
+    )
+    return GlobalGraph(cfg, loop_cfg, keyframe_cloud_cap=65536)
+
+
+def test_backend_loop_closure(circle_run):
+    scans, gt, odoms = circle_run
+    backend = _build_backend()
+    for i, scan in enumerate(scans):
+        cloud = PointCloud.from_numpy(scan, cap=16384)
+        backend.add_scan(i, i * 0.1, odoms[i], cloud)
+        if i % 10 == 9:  # the reference's 10 s wall-timer analogue
+            backend.optimize()
+    backend.finish()
+    while backend.keyframe_queue:
+        backend.optimize()
+    assert len(backend.keyframes) >= 8
+    assert len(backend.loops) >= 1, "expected a loop closure on the closed circle"
+
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    errs_before, errs_after = [], []
+    for kf in backend.keyframes:
+        gt_pose = gt_rel[kf.seq]
+        errs_before.append(np.linalg.norm(kf.odom[:3, 3] - gt_pose[:3, 3]))
+        errs_after.append(np.linalg.norm(kf.estimate[:3, 3] - gt_pose[:3, 3]))
+    # the drifted odometry error must shrink substantially after closure
+    assert max(errs_after) < max(errs_before) * 0.6, (max(errs_before), max(errs_after))
+
+
+def test_backend_dump_and_save_map(circle_run, tmp_path):
+    scans, gt, odoms = circle_run
+    backend = _build_backend()
+    for i, scan in enumerate(scans[:20]):
+        cloud = PointCloud.from_numpy(scan, cap=16384)
+        backend.add_scan(i, i * 0.1, odoms[i], cloud)
+    backend.finish()
+    while backend.keyframe_queue:
+        backend.optimize()
+
+    d = str(tmp_path / "dump")
+    assert backend.dump(d)
+    assert os.path.exists(os.path.join(d, "graph.g2o"))
+    assert os.path.exists(os.path.join(d, "graph.g2o.kernels"))
+    assert os.path.exists(os.path.join(d, "special_nodes.csv"))
+    assert os.path.exists(os.path.join(d, "ggo_kf_odom.txt"))
+    assert os.path.exists(os.path.join(d, "ggo_wf_odom.txt"))
+    assert os.path.exists(os.path.join(d, "000000", "cloud.pcd"))
+    assert os.path.exists(os.path.join(d, "000000", "data"))
+
+    # wf file covers (nearly) every scan
+    wf = np.loadtxt(os.path.join(d, "ggo_wf_odom.txt"))
+    assert wf.shape[0] >= 15 and wf.shape[1] == 12
+
+    map_path = str(tmp_path / "map.pcd")
+    assert backend.save_map(map_path, resolution=0.2)
+    from lv_slam_tpu.io.pcd import read_pcd
+
+    pts = read_pcd(map_path)
+    assert pts.shape[0] > 1000
+
+
+def test_g2o_checkpoint_resume(circle_run, tmp_path):
+    """dump -> load -> re-optimize (the reference's offline re-optimization
+    authoring flow, `graph_slam.cpp:333-363`)."""
+    scans, gt, odoms = circle_run
+    backend = _build_backend()
+    for i, scan in enumerate(scans[:20]):
+        backend.add_scan(i, i * 0.1, odoms[i], PointCloud.from_numpy(scan, cap=16384))
+    backend.finish()
+    while backend.keyframe_queue:
+        backend.optimize()
+    d = str(tmp_path / "dump")
+    backend.dump(d)
+
+    from lv_slam_tpu.graph import g2o_io, pose_graph as pg
+
+    loaded = g2o_io.load_graph(os.path.join(d, "graph.g2o"), node_cap=64, edge_cap=256)
+    result = pg.optimize_pose_graph(loaded, 16)
+    assert np.isfinite(float(result.chi2_after))
