@@ -1,0 +1,168 @@
+"""Feature registration: point-to-line / point-to-plane Gauss-Newton.
+
+The LM solvers behind A-LOAM's `alaserOdometry` (scan-to-scan, 2-point lines
+and 3-point planes from the previous scan's features) and `alaserMapping`
+(scan-to-map, line/plane fits to the 5 nearest map features), rebuilt as
+batched GN: correspondences come from `ops/knn` grid queries, residual
+Jacobians from forward-mode autodiff of the left-perturbed residual, and the
+6x6 normal equations from masked reductions — one jitted program per
+(rounds, iters) configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lv_slam_tpu.core import se3
+from lv_slam_tpu.ops.knn import KnnGrid, knn
+
+_DIST_SQ_THRESH = 25.0  # correspondence gate, matches A-LOAM's 25 m^2
+
+
+class LineField(NamedTuple):
+    """Per-source-feature line correspondence (point mu, direction v)."""
+
+    mu: jax.Array     # (N,3)
+    v: jax.Array      # (N,3) unit
+    valid: jax.Array  # (N,)
+
+
+class PlaneField(NamedTuple):
+    """Per-source-feature plane correspondence (unit normal n, offset d)."""
+
+    n: jax.Array      # (N,3)
+    d: jax.Array      # (N,)
+    valid: jax.Array  # (N,)
+
+
+def lines_from_2nn(y: jax.Array, mask: jax.Array, grid: KnnGrid) -> LineField:
+    """Odometry-style: the 2 nearest target edge points span the line."""
+    dists, pts, valid = knn(grid, y, k=2)
+    a, b = pts[:, 0], pts[:, 1]
+    ab = b - a
+    norm = jnp.linalg.norm(ab, axis=1)
+    ok = (
+        mask
+        & valid[:, 0]
+        & valid[:, 1]
+        & (dists[:, 0] ** 2 < _DIST_SQ_THRESH)
+        & (norm > 1e-3)
+    )
+    v = ab / jnp.maximum(norm, 1e-9)[:, None]
+    return LineField(mu=a, v=v, valid=ok)
+
+
+def lines_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) -> LineField:
+    """Mapping-style: eigen-fit a line to the k nearest map edge points;
+    accept when the scatter is strongly linear (lambda_max >= 3 * lambda_mid,
+    A-LOAM's laserMapping criterion)."""
+    dists, pts, valid = knn(grid, y, k=k)
+    w = valid.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mu = jnp.sum(pts * w[..., None], axis=1) / cnt[:, None]
+    centered = (pts - mu[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[:, None, None]
+    evals, evecs = jnp.linalg.eigh(cov)
+    v = evecs[:, :, 2]
+    ok = (
+        mask
+        & (jnp.sum(w, axis=1) >= k)
+        & (dists[:, k - 1] < 1.0)
+        & (evals[:, 2] > 3.0 * jnp.maximum(evals[:, 1], 1e-12))
+    )
+    return LineField(mu=mu, v=v, valid=ok)
+
+
+def planes_from_3nn(y: jax.Array, mask: jax.Array, grid: KnnGrid) -> PlaneField:
+    """Odometry-style: plane through the 3 nearest target surf points."""
+    dists, pts, valid = knn(grid, y, k=3)
+    a, b, c = pts[:, 0], pts[:, 1], pts[:, 2]
+    n = jnp.cross(b - a, c - a)
+    norm = jnp.linalg.norm(n, axis=1)
+    ok = (
+        mask
+        & jnp.all(valid, axis=1)
+        & (dists[:, 0] ** 2 < _DIST_SQ_THRESH)
+        & (norm > 1e-3)
+    )
+    n_hat = n / jnp.maximum(norm, 1e-9)[:, None]
+    d = -jnp.sum(n_hat * a, axis=1)
+    return PlaneField(n=n_hat, d=d, valid=ok)
+
+
+def planes_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) -> PlaneField:
+    """Mapping-style: least-squares plane through the k nearest map surf
+    points (A-LOAM solves A n = -1); accept when all k points lie within
+    0.2 m of the fit."""
+    dists, pts, valid = knn(grid, y, k=k)
+    w = valid.astype(jnp.float32)
+    # solve min |A n + 1|^2 with A = pts (k,3), weighted by validity
+    ata = jnp.einsum("nki,nk,nkj->nij", pts, w, pts) + 1e-6 * jnp.eye(3)
+    atb = -jnp.einsum("nki,nk->ni", pts, w)
+    n = jnp.linalg.solve(ata, atb[..., None])[..., 0]
+    inv_norm = 1.0 / jnp.maximum(jnp.linalg.norm(n, axis=1), 1e-9)
+    n_hat = n * inv_norm[:, None]
+    d = inv_norm
+    resid = jnp.abs(jnp.einsum("nki,ni->nk", pts, n_hat) + d[:, None])
+    flat_enough = jnp.all(jnp.where(valid, resid, 0.0) < 0.2, axis=1)
+    ok = mask & (jnp.sum(w, axis=1) >= k) & (dists[:, k - 1] < 1.0) & flat_enough
+    return PlaneField(n=n_hat, d=d, valid=ok)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton on frozen correspondences
+# ---------------------------------------------------------------------------
+
+
+def _residuals(delta, transform, edges, lines: LineField, surfs, planes: PlaneField):
+    t = se3.exp_se3(delta) @ transform
+    ye = se3.transform_points(t, edges)
+    diff = ye - lines.mu
+    cross = jnp.cross(diff, lines.v)
+    # eps inside the sqrt keeps the gradient finite at exactly-on-line points
+    # (their weight is 0 but 0 * nan would still poison the reduction)
+    r_edge = jnp.sqrt(jnp.sum(cross * cross, axis=1) + 1e-12)
+    ys = se3.transform_points(t, surfs)
+    r_surf = jnp.sum(ys * planes.n, axis=1) + planes.d
+    return r_edge, r_surf
+
+
+def gn_solve(
+    transform: jax.Array,
+    edges: jax.Array,
+    lines: LineField,
+    surfs: jax.Array,
+    planes: PlaneField,
+    iters: int,
+) -> jax.Array:
+    """GN iterations on frozen correspondences; returns the updated (4,4)."""
+
+    def body(_, t):
+        def res_fn(delta):
+            r_e, r_s = _residuals(delta, t, edges, lines, surfs, planes)
+            return jnp.concatenate([r_e, r_s])
+
+        zero = jnp.zeros(6, jnp.float32)
+        r = res_fn(zero)
+        jac = jax.jacfwd(res_fn)(zero)  # (Ne+Ns, 6)
+        w = jnp.concatenate([lines.valid, planes.valid]).astype(jnp.float32)
+        # Huber-style clamp on outlier residuals (A-LOAM uses Huber(0.1))
+        huber = jnp.where(jnp.abs(r) > 0.1, 0.1 / jnp.maximum(jnp.abs(r), 1e-9), 1.0)
+        w = w * huber
+        h = jnp.einsum("na,n,nb->ab", jac, w, jac)
+        g = jnp.einsum("na,n->a", jac, w * r)
+        ridge = 1e-4 * jnp.trace(h) / 6.0 + 1e-9
+        delta = jnp.linalg.solve(h + ridge * jnp.eye(6), -g)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0)
+        return se3.exp_se3(delta) @ t
+
+    return jax.lax.fori_loop(0, iters, body, transform)
+
+
+def match_counts(lines: LineField, planes: PlaneField) -> Tuple[jax.Array, jax.Array]:
+    return jnp.sum(lines.valid.astype(jnp.int32)), jnp.sum(planes.valid.astype(jnp.int32))

@@ -1,0 +1,91 @@
+"""Grid-bucketed k-nearest-neighbor search over padded point sets.
+
+The LFA stage (LOAM-style feature odometry/mapping, reference: the external
+A-LOAM package launched by `launch/dlo_lfa_*.launch`) needs k-NN queries on
+feature clouds (2 points to form a line, 5 to fit a line/plane). Instead of
+kd-trees, points are bucketed into a uniform grid (cell ~ the search radius):
+one sort at build; each query gathers up to `slots_per_cell` points from the
+27 neighboring cells and top-k's over that fixed candidate set — all dense
+gathers, no data-dependent shapes.
+
+Points per cell beyond `slots_per_cell` are dropped from candidacy (bounded
+occupancy is guaranteed upstream by the voxel-downsampling of feature
+clouds). Distances to dropped/missing candidates are +inf.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EXTENT = 1024
+_KEY_MAX = jnp.int32(2**31 - 1)
+
+_OFF27 = jnp.asarray(
+    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=jnp.int32,
+)
+
+
+class KnnGrid(NamedTuple):
+    keys: jax.Array         # (N,) ascending flat cell keys (pad: INT32_MAX)
+    xyz: jax.Array          # (N,3) points sorted by key
+    origin_cell: jax.Array  # (3,)
+    cell_size: jax.Array    # ()
+
+
+def build_grid(xyz: jax.Array, mask: jax.Array, cell_size: float) -> KnnGrid:
+    """xyz (N,3), mask (N,) -> sorted grid. Jittable."""
+    e = _EXTENT
+    cs = jnp.float32(cell_size)
+    coords = jnp.floor(xyz / cs).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    origin = jnp.min(jnp.where(mask[:, None], coords, big), axis=0)
+    origin = jnp.where(origin == big, 0, origin)
+    rel = coords - origin
+    ok = jnp.all((rel >= 0) & (rel < e), axis=1) & mask
+    flat = (rel[:, 0] * e + rel[:, 1]) * e + rel[:, 2]
+    keys = jnp.where(ok, flat, _KEY_MAX)
+    order = jnp.argsort(keys)
+    return KnnGrid(keys=keys[order], xyz=xyz[order], origin_cell=origin, cell_size=cs)
+
+
+def knn(
+    grid: KnnGrid,
+    queries: jax.Array,
+    k: int,
+    slots_per_cell: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """For each query (Q,3): (dists (Q,k), points (Q,k,3), valid (Q,k)).
+
+    Candidates: the first `slots_per_cell` stored points of each of the 27
+    cells around the query. Results are sorted ascending by distance; misses
+    have dist=+inf, valid=False.
+    """
+    e = _EXTENT
+    coords = jnp.floor(queries / grid.cell_size).astype(jnp.int32)
+    rel = coords[:, None, :] - grid.origin_cell + _OFF27[None, :, :]       # (Q,27,3)
+    in_extent = jnp.all((rel >= 0) & (rel < e), axis=-1)
+    flat = (rel[..., 0] * e + rel[..., 1]) * e + rel[..., 2]
+    cell_key = jnp.where(in_extent, flat, _KEY_MAX)                         # (Q,27)
+    start = jnp.searchsorted(grid.keys, cell_key.reshape(-1)).reshape(cell_key.shape)
+
+    n = grid.keys.shape[0]
+    slot = jnp.arange(slots_per_cell, dtype=jnp.int32)
+    idx = jnp.minimum(start[..., None] + slot, n - 1)                       # (Q,27,S)
+    hit = (grid.keys[idx] == cell_key[..., None]) & in_extent[..., None]
+    cand = grid.xyz[idx]                                                    # (Q,27,S,3)
+    d2 = jnp.sum((queries[:, None, None, :] - cand) ** 2, axis=-1)
+    d2 = jnp.where(hit, d2, jnp.inf)
+
+    q = queries.shape[0]
+    d2_flat = d2.reshape(q, -1)
+    cand_flat = cand.reshape(q, -1, 3)
+    # top-k smallest: negate for lax.top_k
+    neg, top_idx = jax.lax.top_k(-d2_flat, k)
+    dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    points = jnp.take_along_axis(cand_flat, top_idx[..., None], axis=1)
+    valid = jnp.isfinite(dists)
+    return dists, points, valid
