@@ -1,0 +1,211 @@
+"""ORB-style features on TPU: FAST corners + oriented BRIEF + MXU matching.
+
+The reference extracts ORB descriptors per keyframe with OpenCV
+(`global_graph_nodelet.cpp:212-236`, `cv::ORB::create().detectAndCompute`)
+and scores keyframe similarity through a DBoW3 vocabulary
+(`loop_detector.hpp:231-240`). Rebuilt TPU-first:
+
+- FAST-9/16 corner test as 16 rolled-image comparisons + unrolled
+  contiguous-run test (pure VPU element-wise ops over the whole image)
+- 3x3 non-max suppression, top-K selection with `lax.top_k`
+- intensity-centroid orientation over a radius-15 disc (fixed gather set)
+- steered BRIEF-256 with a deterministic Gaussian pair pattern (OpenCV uses
+  a learned pattern; byte-level compatibility is not a goal — matching
+  quality is)
+- descriptor matching as a bit-unpacked {-1,+1} matmul on the MXU:
+  hamming = (256 - dot)/2, giving a dense cross-distance matrix in one shot;
+  `match_score` = mutual-best-match fraction with a distance gate, a [0,1]
+  similarity playing the role of DBoW3's L1 score (same accept-gate scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# FAST radius-3 Bresenham circle, clockwise from 12 o'clock: (row, col)
+_FAST_CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    np.int32,
+)
+
+_PATCH_R = 15  # orientation / BRIEF patch radius
+
+
+def _disc_offsets(radius: int) -> np.ndarray:
+    out = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if dy * dy + dx * dx <= radius * radius
+    ]
+    return np.asarray(out, np.int32)
+
+
+_DISC = _disc_offsets(_PATCH_R)
+
+
+def _brief_pattern(n_pairs: int = 256, seed: int = 1234) -> np.ndarray:
+    """(n_pairs, 4) int8 offsets (y1,x1,y2,x2), Gaussian like BRIEF."""
+    rng = np.random.default_rng(seed)
+    sigma = _PATCH_R / 2.5
+    pat = np.clip(rng.normal(0, sigma, size=(n_pairs, 4)), -_PATCH_R + 1, _PATCH_R - 1)
+    return np.round(pat).astype(np.int32)
+
+
+_PATTERN = _brief_pattern()
+
+
+def _box_blur(img: jax.Array) -> jax.Array:
+    """3x3 box blur via rolls (BRIEF comparisons use smoothed intensities)."""
+    out = jnp.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out = out + jnp.roll(jnp.roll(img, dy, 0), dx, 1)
+    return out / 9.0
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def detect_and_compute(image: jax.Array, max_features: int, threshold: float = 20.0):
+    """image (H,W) float32 [0,255] -> (keypoints (K,2) yx, descriptors
+    (K,256) bool, scores (K,), valid (K,))."""
+    img = image.astype(jnp.float32)
+    h, w = img.shape
+
+    # --- FAST-9 ---
+    nbrs = jnp.stack(
+        [jnp.roll(jnp.roll(img, -dy, 0), -dx, 1) for dy, dx in _FAST_CIRCLE], axis=-1
+    )  # (H,W,16): nbr value at circle position
+    bright = nbrs > (img[..., None] + threshold)
+    dark = nbrs < (img[..., None] - threshold)
+
+    def run9(mask):
+        m2 = jnp.concatenate([mask, mask[..., :8]], axis=-1)
+        hit = jnp.zeros(img.shape, bool)
+        for s in range(16):
+            seg = m2[..., s]
+            for k in range(1, 9):
+                seg = seg & m2[..., s + k]
+            hit = hit | seg
+        return hit
+
+    corner = run9(bright) | run9(dark)
+    score = jnp.maximum(
+        jnp.sum(jnp.where(bright, nbrs - img[..., None] - threshold, 0.0), -1),
+        jnp.sum(jnp.where(dark, img[..., None] - nbrs - threshold, 0.0), -1),
+    )
+    score = jnp.where(corner, score, 0.0)
+
+    # 3x3 non-max suppression
+    neigh_max = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh_max = jnp.maximum(neigh_max, jnp.roll(jnp.roll(score, dy, 0), dx, 1))
+    keep = corner & (score >= neigh_max) & (score > 0)
+
+    # keep away from the border (patch radius + 1)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    b = _PATCH_R + 1
+    inside = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
+    keep = keep & inside
+
+    flat_score = jnp.where(keep, score, -1.0).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat_score, max_features)
+    ky = top_idx // w
+    kx = top_idx % w
+    valid = top_scores > 0
+    kpts = jnp.stack([ky, kx], axis=1)
+
+    # --- orientation: intensity centroid over the disc ---
+    disc = jnp.asarray(_DISC)
+    py = ky[:, None] + disc[None, :, 0]
+    px = kx[:, None] + disc[None, :, 1]
+    patch = img[jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)]  # (K,D)
+    m10 = jnp.sum(patch * disc[None, :, 1], axis=1)
+    m01 = jnp.sum(patch * disc[None, :, 0], axis=1)
+    theta = jnp.arctan2(m01, m10)
+
+    # --- steered BRIEF over the blurred image ---
+    blurred = _box_blur(img)
+    pat = jnp.asarray(_PATTERN, jnp.float32)  # (256,4) y1 x1 y2 x2
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+    def rot(y, x):
+        # rotate (x,y) by theta: x' = x cos - y sin ; y' = x sin + y cos
+        rx = x[None, :] * cos_t[:, None] - y[None, :] * sin_t[:, None]
+        ry = x[None, :] * sin_t[:, None] + y[None, :] * cos_t[:, None]
+        return ry, rx
+
+    r1y, r1x = rot(pat[:, 0], pat[:, 1])
+    r2y, r2x = rot(pat[:, 2], pat[:, 3])
+    s1y = jnp.clip(jnp.round(ky[:, None] + r1y).astype(jnp.int32), 0, h - 1)
+    s1x = jnp.clip(jnp.round(kx[:, None] + r1x).astype(jnp.int32), 0, w - 1)
+    s2y = jnp.clip(jnp.round(ky[:, None] + r2y).astype(jnp.int32), 0, h - 1)
+    s2x = jnp.clip(jnp.round(kx[:, None] + r2x).astype(jnp.int32), 0, w - 1)
+    desc = blurred[s1y, s1x] < blurred[s2y, s2x]  # (K,256) bool
+
+    return kpts, desc, top_scores, valid
+
+
+def pack_descriptors(desc_bits: np.ndarray) -> np.ndarray:
+    """(K,256) bool -> (K,32) uint8 (cv::Mat-compatible row layout)."""
+    return np.packbits(np.asarray(desc_bits, bool), axis=1)
+
+
+def unpack_descriptors(desc: np.ndarray) -> np.ndarray:
+    """(K,32) uint8 -> (K,256) bool."""
+    return np.unpackbits(np.asarray(desc, np.uint8), axis=1).astype(bool)
+
+
+@jax.jit
+def hamming_matrix(bits_a: jax.Array, bits_b: jax.Array) -> jax.Array:
+    """(Da,256),(Db,256) {0,1} -> (Da,Db) hamming distances via MXU matmul."""
+    pm_a = bits_a.astype(jnp.float32) * 2.0 - 1.0
+    pm_b = bits_b.astype(jnp.float32) * 2.0 - 1.0
+    dot = pm_a @ pm_b.T  # agreements - disagreements
+    return (bits_a.shape[1] - dot) * 0.5
+
+
+def match_score(desc_a: np.ndarray, desc_b: np.ndarray, max_dist: float = 64.0) -> float:
+    """[0,1] similarity: fraction of mutual-best matches under max_dist.
+
+    Plays the role of the DBoW3 query score in the loop detector
+    (`loop_detector.hpp:244` gates at 0.04).
+    """
+    if desc_a.shape[0] == 0 or desc_b.shape[0] == 0:
+        return 0.0
+    a = jnp.asarray(unpack_descriptors(desc_a) if desc_a.dtype == np.uint8 and desc_a.shape[1] == 32 else desc_a)
+    b = jnp.asarray(unpack_descriptors(desc_b) if desc_b.dtype == np.uint8 and desc_b.shape[1] == 32 else desc_b)
+    d = hamming_matrix(a, b)
+    best_ab = jnp.argmin(d, axis=1)
+    best_ba = jnp.argmin(d, axis=0)
+    ia = jnp.arange(a.shape[0])
+    mutual = best_ba[best_ab] == ia
+    dist_ok = jnp.take_along_axis(d, best_ab[:, None], axis=1)[:, 0] <= max_dist
+    n_good = jnp.sum((mutual & dist_ok).astype(jnp.float32))
+    return float(n_good / min(a.shape[0], b.shape[0]))
+
+
+class OrbExtractor:
+    """Host-friendly wrapper producing packed uint8 descriptors."""
+
+    def __init__(self, max_features: int = 512, threshold: float = 20.0):
+        self.max_features = max_features
+        self.threshold = threshold
+
+    def detect_and_compute(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """image (H,W) [0,255] -> (descriptors (K,32) uint8, keypoints (K,2))."""
+        img = jnp.asarray(np.asarray(image, np.float32))
+        kpts, desc, scores, valid = detect_and_compute(img, self.max_features, self.threshold)
+        v = np.asarray(valid)
+        return pack_descriptors(np.asarray(desc)[v]), np.asarray(kpts)[v]

@@ -32,6 +32,7 @@ def circle_run():
     gt = np.stack(gt)
     rays = synthetic.hdl64_rays(32, 450)
     scans = [synthetic.simulate_scan(world, gt[i], rays, seed=100 + i) for i in range(n)]
+    images = [synthetic.render_camera_image(world, gt[i], seed=9) for i in range(n)]
 
     # drifting odometry: relative GT composed with a small systematic yaw bias
     rng = np.random.default_rng(4)
@@ -40,7 +41,7 @@ def circle_run():
     for i in range(1, n):
         rel = np.linalg.inv(gt[i - 1]) @ gt[i] @ bias
         odoms.append(odoms[-1] @ rel)
-    return scans, gt, np.stack(odoms)
+    return scans, gt, np.stack(odoms), images
 
 
 def _build_backend():
@@ -60,11 +61,11 @@ def _build_backend():
 
 
 def test_backend_loop_closure(circle_run):
-    scans, gt, odoms = circle_run
+    scans, gt, odoms, images = circle_run
     backend = _build_backend()
     for i, scan in enumerate(scans):
         cloud = PointCloud.from_numpy(scan, cap=16384)
-        backend.add_scan(i, i * 0.1, odoms[i], cloud)
+        backend.add_scan(i, i * 0.1, odoms[i], cloud, image=images[i])
         if i % 10 == 9:  # the reference's 10 s wall-timer analogue
             backend.optimize()
     backend.finish()
@@ -72,6 +73,10 @@ def test_backend_loop_closure(circle_run):
         backend.optimize()
     assert len(backend.keyframes) >= 8
     assert len(backend.loops) >= 1, "expected a loop closure on the closed circle"
+    # the visual path was active: keyframes carry ORB descriptors and the
+    # accepted loop passed the visual gate
+    assert all(kf.descriptor is not None for kf in backend.keyframes)
+    assert backend.loops[0].visual_score >= 0.04
 
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     errs_before, errs_after = [], []
@@ -84,7 +89,7 @@ def test_backend_loop_closure(circle_run):
 
 
 def test_backend_dump_and_save_map(circle_run, tmp_path):
-    scans, gt, odoms = circle_run
+    scans, gt, odoms, images = circle_run
     backend = _build_backend()
     for i, scan in enumerate(scans[:20]):
         cloud = PointCloud.from_numpy(scan, cap=16384)
@@ -118,7 +123,7 @@ def test_backend_dump_and_save_map(circle_run, tmp_path):
 def test_g2o_checkpoint_resume(circle_run, tmp_path):
     """dump -> load -> re-optimize (the reference's offline re-optimization
     authoring flow, `graph_slam.cpp:333-363`)."""
-    scans, gt, odoms = circle_run
+    scans, gt, odoms, images = circle_run
     backend = _build_backend()
     for i, scan in enumerate(scans[:20]):
         backend.add_scan(i, i * 0.1, odoms[i], PointCloud.from_numpy(scan, cap=16384))
