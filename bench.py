@@ -31,38 +31,57 @@ import numpy as np  # noqa: E402
 
 def main():
     n_scans = int(os.environ.get("BENCH_SCANS", "40"))
+    mode = os.environ.get("BENCH_MODE", "fused")  # fused | host
+    import jax.numpy as jnp
+
     from lv_slam_tpu.config import NDTConfig, OdometryConfig
     from lv_slam_tpu.core.cloud import PointCloud
     from lv_slam_tpu.io import synthetic
-    from lv_slam_tpu.odometry.dlo import DirectLidarOdometry
 
     scans, gt_poses, _ = synthetic.make_sequence(
         n_scans, seed=5, trajectory="figure8", step=1.0, n_rings=64, n_azimuth=900
     )
     cap = 65536
-    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
-
     cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=32768, lut_extent=256))
-    odo = DirectLidarOdometry(cfg)
-
-    # Warm-up: first 3 scans trigger all compiles (map build, align, re-align).
-    warm = 3
-    for i in range(warm):
-        odo.process(clouds[i], i * 0.1)
-
-    t0 = time.perf_counter()
-    for i in range(warm, n_scans):
-        odo.process(clouds[i], i * 0.1)
-    jax.block_until_ready(odo._key_map.means)
-    elapsed = time.perf_counter() - t0
-
-    timed = n_scans - warm
-    scans_per_sec = timed / elapsed
-
-    # sanity: trajectory must actually track (throughput of a diverged run is
-    # meaningless)
-    est = np.stack(odo.poses)
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
+    extra = {}
+
+    if mode == "fused":
+        from lv_slam_tpu.odometry.fused import run_sequence_fused
+
+        clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+        xyz = jnp.stack([c.xyz for c in clouds])
+        mask = jnp.stack([c.mask for c in clouds])
+        stamps = jnp.arange(n_scans, dtype=jnp.float32) * 0.1
+
+        # warm-up compiles the whole lax.scan program once
+        est = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg))
+        reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run_sequence_fused(xyz, mask, stamps, cfg)
+        jax.block_until_ready(out)
+        elapsed = (time.perf_counter() - t0) / reps
+        timed = n_scans
+    else:
+        from lv_slam_tpu.odometry.dlo import DirectLidarOdometry
+
+        clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+        odo = DirectLidarOdometry(cfg)
+        warm = 3
+        for i in range(warm):
+            odo.process(clouds[i], i * 0.1)
+        t0 = time.perf_counter()
+        for i in range(warm, n_scans):
+            odo.process(clouds[i], i * 0.1)
+        jax.block_until_ready(odo._key_map.means)
+        elapsed = time.perf_counter() - t0
+        est = np.stack(odo.poses)
+        timed = n_scans - warm
+        extra["keyframes"] = odo.stats.keyframe_count
+
+    scans_per_sec = timed / elapsed
+    # sanity: throughput of a diverged run is meaningless
     final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3])
     drift_ok = final_err < 0.02 * max(1.0, n_scans)  # < 2% of distance
 
@@ -72,12 +91,12 @@ def main():
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 2),
         "extra": {
+            "mode": mode,
             "n_scans": timed,
-            "keyframes": odo.stats.keyframe_count,
-            "mean_align_iters": odo.stats.total_iterations / max(1, timed),
             "final_traj_err_m": round(float(final_err), 4),
             "tracking_ok": bool(drift_ok),
             "platform": jax.devices()[0].platform,
+            **extra,
         },
     }
     print(json.dumps(result))

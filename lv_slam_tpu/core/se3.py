@@ -128,6 +128,18 @@ def identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
 
 
+def orthonormalize(transform: jax.Array) -> jax.Array:
+    """Project the rotation block back onto SO(3) (via quaternion).
+
+    Chained float32 compositions accumulate orthonormality defect
+    multiplicatively; feedback loops that compose their own outputs (the
+    odometry warm start) must re-project each cycle or the defect grows
+    geometrically (~3x/step through guess = tf * pre^-1 * tf).
+    """
+    rot = quat_to_matrix(quat_from_matrix(transform[..., :3, :3]))
+    return make_transform(rot, transform[..., :3, 3])
+
+
 # ---------------------------------------------------------------------------
 # Quaternions (w, x, y, z)
 # ---------------------------------------------------------------------------

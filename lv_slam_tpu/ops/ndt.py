@@ -140,10 +140,21 @@ def ndt_align(
     max_iterations: int = 35,
     neighborhood: str = "DIRECT7",
     weighted: bool = False,
+    dof_mask: Tuple[bool, ...] | None = None,
 ) -> NDTResult:
-    """Register `source` onto the voxel map. Jittable; static config args."""
+    """Register `source` onto the voxel map. Jittable; static config args.
+
+    `dof_mask`: optional 6-tuple selecting which tangent dims (tx,ty,tz,
+    rx,ry,rz) are free; masked dims are frozen by zeroing their rows/cols of
+    the normal equations — the reference's DOF-masking trick in the
+    ground-constrained NDT (`ndt_ground_impl.hpp:554-567`).
+    """
     gauss = make_gauss_params(resolution, outlier_ratio)
     offsets = neighborhood_offsets(neighborhood)
+    if dof_mask is not None:
+        dof = jnp.asarray(dof_mask, jnp.float32)
+    else:
+        dof = None
     src_xyz = source.masked_xyz()
     src_mask = source.mask
     eps = jnp.float32(transformation_epsilon)
@@ -162,6 +173,11 @@ def ndt_align(
         transform, score, grad, hess, cap, it, _ = state
         # Ridge-stabilized Newton solve (reference: JacobiSVD, impl2:137-140).
         ridge = 1e-6 * jnp.trace(jnp.abs(hess)) / 6.0 + 1e-12
+        if dof is not None:
+            # freeze masked dims: project the normal equations onto the free
+            # subspace and pin the frozen diagonal
+            grad = grad * dof
+            hess = hess * dof[:, None] * dof[None, :] - (1.0 - dof) * jnp.eye(6)
         delta = jnp.linalg.solve(hess + ridge * jnp.eye(6, dtype=hess.dtype), -grad)
         norm = jnp.linalg.norm(delta)
         bad = (norm == 0.0) | ~jnp.isfinite(norm)

@@ -104,6 +104,28 @@ def nn_sq_dists(grid: CentroidGrid, points: jax.Array, mask: jax.Array) -> jax.A
     return jnp.where(mask, d2, jnp.inf)
 
 
+def nn_points(grid: CentroidGrid, points: jax.Array, mask: jax.Array):
+    """Approximate NN lookup returning the matched point: (d2 (N,), nn (N,3),
+    valid (N,)). The match is the nearest occupied fine cell's centroid."""
+    e = _EXTENT
+    coords = jnp.floor(points / grid.resolution).astype(jnp.int32)
+    rel = coords[:, None, :] - grid.origin_cell + _OFF27[None, :, :]
+    in_extent = jnp.all((rel >= 0) & (rel < e), axis=-1)
+    flat = (rel[..., 0] * e + rel[..., 1]) * e + rel[..., 2]
+    query = jnp.where(in_extent, flat, _KEY_MAX)
+    idx = jnp.searchsorted(grid.keys, query.reshape(-1)).reshape(query.shape)
+    idx = jnp.minimum(idx, grid.keys.shape[0] - 1)
+    hit = in_extent & (grid.keys[idx] == query)
+    cent = grid.centroids[jnp.where(hit, idx, 0)]  # (N,27,3)
+    d2 = jnp.sum((points[:, None, :] - cent) ** 2, axis=-1)
+    d2 = jnp.where(hit, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=1)
+    nn = jnp.take_along_axis(cent, best[:, None, None], axis=1)[:, 0]
+    d2_best = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+    valid = mask & jnp.isfinite(d2_best)
+    return jnp.where(valid, d2_best, jnp.inf), nn, valid
+
+
 def fitness_score(
     target: PointCloud,
     source: PointCloud,

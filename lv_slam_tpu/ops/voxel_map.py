@@ -44,6 +44,7 @@ class VoxelMap(NamedTuple):
     means: jax.Array        # (L, 3)  voxel Gaussian means (world/map frame)
     icovs: jax.Array        # (L, 3, 3) inflated inverse covariances
     weights: jax.Array      # (L,)   pclpca dimension weight (1.0 if unweighted)
+    normals: jax.Array      # (L, 3) surface normal (min-eigenvalue direction)
     valid: jax.Array        # (L,)   bool
     lut: jax.Array          # (E*E*E,) int32 leaf row or -1
     origin_cell: jax.Array  # (3,) int32
@@ -168,10 +169,12 @@ def build_voxel_map(
     lut = lut.at[scatter_idx].set(jnp.where(valid, rows, -1), mode="drop")
 
     means = jnp.where(valid[:, None], means, 0.0)
+    normals = jnp.where(valid[:, None], evecs[:, :, 0], 0.0)
     return VoxelMap(
         means=means,
         icovs=jnp.where(valid[:, None, None], icovs, 0.0),
         weights=weights_arr,
+        normals=normals,
         valid=valid,
         lut=lut,
         origin_cell=origin_cell,

@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+
+from lv_slam_tpu.config import NDTConfig, OdometryConfig, PrefilterConfig
+from lv_slam_tpu.core.cloud import PointCloud
+from lv_slam_tpu.odometry.dlo import run_sequence
+from lv_slam_tpu.odometry.fused import run_sequence_fused
+
+
+def _stack(scans, cap):
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    return xyz, mask
+
+
+def test_fused_matches_host_driver(small_sequence):
+    """The device-resident lax.scan pipeline must track like the host loop."""
+    scans, gt, _ = small_sequence
+    cap = 32768
+    cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=16384, lut_extent=256))
+    stamps = np.arange(len(scans)) * 0.1
+
+    host_poses, _ = run_sequence(scans, stamps, cfg=cfg, cap=cap)
+
+    xyz, mask = _stack(scans, cap)
+    fused_poses = np.asarray(run_sequence_fused(xyz, mask, jnp.asarray(stamps, jnp.float32), cfg))
+
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    for i in range(len(scans)):
+        err_vs_host = np.linalg.norm(fused_poses[i][:3, 3] - host_poses[i][:3, 3])
+        assert err_vs_host < 0.05, (i, err_vs_host)
+    final_err = np.linalg.norm(fused_poses[-1][:3, 3] - gt_rel[-1][:3, 3])
+    assert final_err < 0.25, final_err
+
+
+def test_fused_with_prefilter(small_sequence):
+    scans, gt, _ = small_sequence
+    cap = 32768
+    cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=16384, lut_extent=256))
+    pf = PrefilterConfig(raw_cap=cap, out_cap=cap)
+    stamps = jnp.arange(len(scans), dtype=jnp.float32) * 0.1
+    xyz, mask = _stack(scans, cap)
+    poses = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg, pf))
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    final_err = np.linalg.norm(poses[-1][:3, 3] - gt_rel[-1][:3, 3])
+    assert final_err < 0.25, final_err
