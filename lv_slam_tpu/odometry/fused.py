@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from lv_slam_tpu.config import OdometryConfig, PrefilterConfig
 from lv_slam_tpu.core import se3
 from lv_slam_tpu.core.cloud import PointCloud
-from lv_slam_tpu.ops.ndt import ndt_align
+from lv_slam_tpu.ops.ndt_soa import ndt_align_soa as ndt_align
 from lv_slam_tpu.ops.prefilter import distance_filter, voxel_downsample
 from lv_slam_tpu.ops.voxel_map import VoxelMap, build_voxel_map
 
@@ -149,32 +149,65 @@ def run_sequence_fused(
     cfg: OdometryConfig,
     prefilter_cfg: PrefilterConfig | None = None,
     with_stats: bool = False,
+    use_scan: bool = True,
 ):
     """(N,cap,3), (N,cap), (N,) -> (N,4,4) poses.
 
-    One donated jitted step per scan: the odometry state (including the
-    voxel-map buffers) lives on device and is updated in place
-    (`donate_argnums`), poses stay on device until the final stack. A
-    `lax.scan` formulation was measured ~30x slower on TPU — XLA fails to
-    alias the large map carry through the rebuild conditional — so the thin
-    host loop is the fast path; per-call dispatch is amortized by the donated
-    in-place state.
+    `use_scan=True`: the whole sequence is ONE `lax.scan` program — zero
+    host round trips (the remote-TPU relay costs ~30 ms per dispatch/fetch).
+    `use_scan=False`: one donated jitted step per scan (the incremental API;
+    same math). Historical note: lax.scan was initially ~30x slower because
+    the keyframe-rebuild conditional executed an iterative `eigh` in both
+    branches; the analytic 3x3 eigensolver removed that wall.
     """
-    jinit, jstep = _jitted_step_cache(cfg, prefilter_cfg)
+    if not use_scan:
+        jinit, jstep = _jitted_step_cache(cfg, prefilter_cfg)
+        n, cap = xyz.shape[0], xyz.shape[1]
+        zeros_i = jnp.zeros((cap,), jnp.float32)
+        state = jinit(PointCloud(xyz[0], zeros_i, mask[0]), stamps[0])
+        poses = [jnp.eye(4, dtype=jnp.float32)]
+        iters = [jnp.int32(0)]
+        switches = [jnp.bool_(False)]
+        for i in range(1, n):
+            cloud = PointCloud(xyz[i], zeros_i, mask[i])
+            state, (pose, it, sw) = jstep(state, cloud, stamps[i])
+            poses.append(pose)
+            iters.append(it)
+            switches.append(sw)
+        out_poses = jnp.stack(poses)
+        if with_stats:
+            return out_poses, jnp.stack(iters), jnp.stack(switches)
+        return out_poses
 
-    n, cap = xyz.shape[0], xyz.shape[1]
-    zeros_i = jnp.zeros((cap,), jnp.float32)
-    state = jinit(PointCloud(xyz[0], zeros_i, mask[0]), stamps[0])
-    poses = [jnp.eye(4, dtype=jnp.float32)]
-    iters = [jnp.int32(0)]
-    switches = [jnp.bool_(False)]
-    for i in range(1, n):
-        cloud = PointCloud(xyz[i], zeros_i, mask[i])
-        state, (pose, it, sw) = jstep(state, cloud, stamps[i])
-        poses.append(pose)
-        iters.append(it)
-        switches.append(sw)
-    out_poses = jnp.stack(poses)
+    run = _jitted_scan_cache(cfg, prefilter_cfg)
+    poses, iters, switches = run(xyz, mask, stamps)
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    out_poses = jnp.concatenate([eye, poses], axis=0)
     if with_stats:
-        return out_poses, jnp.stack(iters), jnp.stack(switches)
+        return (
+            out_poses,
+            jnp.concatenate([jnp.zeros(1, jnp.int32), iters]),
+            jnp.concatenate([jnp.zeros(1, bool), switches]),
+        )
     return out_poses
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_scan_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
+    init_state, step = make_fused_step(cfg, prefilter_cfg)
+
+    @jax.jit
+    def run(xyz, mask, stamps):
+        state0 = init_state(PointCloud(xyz[0], jnp.zeros(xyz.shape[1]), mask[0]), stamps[0])
+
+        def body(state, inputs):
+            x, m, t = inputs
+            st, out = step(state, PointCloud(x, jnp.zeros(x.shape[0]), m), t)
+            return st, out
+
+        _, (poses, iters, switches) = jax.lax.scan(
+            body, state0, (xyz[1:], mask[1:], stamps[1:])
+        )
+        return poses, iters, switches
+
+    return run

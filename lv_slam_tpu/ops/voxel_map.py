@@ -135,8 +135,11 @@ def build_voxel_map(
     leaf_occupied = (seg_key >= 0) & (counts >= min_points_per_voxel)
 
     # Symmetric 3x3 eigendecomposition (ascending, like Eigen's
-    # SelfAdjointEigenSolver) + eq. 6.11 inflation.
-    evals, evecs = jnp.linalg.eigh(jnp.where(leaf_occupied[:, None, None], cov, jnp.eye(3, dtype=cov.dtype)))
+    # SelfAdjointEigenSolver) + eq. 6.11 inflation. Closed-form analytic
+    # solver: XLA's iterative eigh costs ~100 ms for 32k batched 3x3 on TPU.
+    from lv_slam_tpu.ops.linalg3 import eigh3x3
+
+    evals, evecs = eigh3x3(jnp.where(leaf_occupied[:, None, None], cov, jnp.eye(3, dtype=cov.dtype)))
     pos_def = (evals[:, 0] >= 0) & (evals[:, 1] >= 0) & (evals[:, 2] > 0)
     min_ev = min_covar_eigvalue_mult * evals[:, 2]
     evals_inf = jnp.maximum(evals, min_ev[:, None])
