@@ -140,7 +140,12 @@ def build_voxel_map(
     from lv_slam_tpu.ops.linalg3 import eigh3x3
 
     evals, evecs = eigh3x3(jnp.where(leaf_occupied[:, None, None], cov, jnp.eye(3, dtype=cov.dtype)))
-    pos_def = (evals[:, 0] >= 0) & (evals[:, 1] >= 0) & (evals[:, 2] > 0)
+    # The reference rejects leaves with negative eigenvalues (exact arithmetic
+    # assumption); in float32, thin planar voxels routinely round the smallest
+    # eigenvalue a hair below zero, so tolerate rounding-scale negatives —
+    # the eq-6.11 inflation floor (0.01 * lambda_max) replaces them anyway.
+    tol = 1e-5 * jnp.abs(evals[:, 2])
+    pos_def = (evals[:, 0] >= -tol) & (evals[:, 1] >= -tol) & (evals[:, 2] > 0)
     min_ev = min_covar_eigvalue_mult * evals[:, 2]
     evals_inf = jnp.maximum(evals, min_ev[:, None])
     inv_evals = 1.0 / jnp.maximum(evals_inf, 1e-30)
