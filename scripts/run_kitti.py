@@ -44,15 +44,18 @@ def main():
     cfg = PipelineConfig(calib_tr=tuple(tr[:3, :4].reshape(-1)))
     slam = LvSlam(cfg, use_lfa=not args.no_lfa, optimize_every=args.optimize_every)
 
+    from lv_slam_tpu import native
+
     poses = []
     t0 = time.perf_counter()
-    for i, path in enumerate(scan_files):
-        scan = kitti.read_velodyne_bin(path)
-        pose = slam.process(scan, i * 0.1)
-        poses.append(pose)
-        if i % 50 == 0:
-            rate = (i + 1) / (time.perf_counter() - t0)
-            print(f"scan {i}/{len(scan_files)}  {rate:.1f} scans/s")
+    # native prefetcher keeps the device fed (numpy fallback if unbuilt)
+    with native.ScanPrefetcher(scan_files) as prefetcher:
+        for i, scan in enumerate(prefetcher):
+            pose = slam.process(scan, i * 0.1)
+            poses.append(pose)
+            if i % 50 == 0:
+                rate = (i + 1) / (time.perf_counter() - t0)
+                print(f"scan {i}/{len(scan_files)}  {rate:.1f} scans/s")
     slam.finalize()
 
     out = args.output
