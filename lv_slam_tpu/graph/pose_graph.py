@@ -106,27 +106,26 @@ def _edge_res_jac(t_i, t_j, meas):
 
 
 def _prior_res_jac(t_i, p_type, p_meas):
-    """Unary residual padded to (4,), Jacobian (4,6); type-switched."""
+    """Unary residual padded to (4,), Jacobian (4,6).
+
+    Branchless (all five types computed, one selected): unary priors are
+    cheap, and jnp.where selection is vmap- and shard_map-safe where
+    lax.switch trips the varying-axes rules.
+    """
 
     def res(d):
         t = se3.exp_se3(d) @ t_i
-
-        def r_xyz(t):
-            return jnp.pad(factors.prior_xyz_residual(t, p_meas[:3]), (0, 1))
-
-        def r_xy(t):
-            return jnp.pad(factors.prior_xy_residual(t, p_meas[:2]), (0, 2))
-
-        def r_quat(t):
-            return jnp.pad(factors.prior_quat_residual(t, p_meas[:4]), (0, 1))
-
-        def r_vec(t):
-            return jnp.pad(factors.prior_vec_residual(t, p_meas[:3], p_meas[3:6]), (0, 1))
-
-        def r_plane(t):
-            return factors.se3_plane_residual(t, p_meas[:4])
-
-        return jax.lax.switch(p_type, [r_xyz, r_xy, r_quat, r_vec, r_plane], t)
+        r = jnp.stack(
+            [
+                jnp.pad(factors.prior_xyz_residual(t, p_meas[:3]), (0, 1)),
+                jnp.pad(factors.prior_xy_residual(t, p_meas[:2]), (0, 2)),
+                jnp.pad(factors.prior_quat_residual(t, p_meas[:4]), (0, 1)),
+                jnp.pad(factors.prior_vec_residual(t, p_meas[:3], p_meas[3:6]), (0, 1)),
+                factors.se3_plane_residual(t, p_meas[:4]),
+            ]
+        )
+        onehot = (jnp.arange(5) == p_type).astype(t.dtype)
+        return onehot @ r
 
     zero = jnp.zeros(6, t_i.dtype)
     return res(zero), jax.jacfwd(res)(zero)
@@ -177,7 +176,8 @@ def _chi2_and_normal(graph: PoseGraph, poses: jax.Array, build: bool):
     if not build:
         return chi2, None, None
 
-    # --- assemble dense H, b ---
+    # --- assemble dense H, b (gauge fix applied separately so sharded
+    #     assemblies can psum partial systems first) ---
     j_stack = jnp.concatenate([j_i, j_j], axis=2)          # (E,6,12)
     w_info = w[:, None, None] * graph.e_info               # (E,6,6)
     h_blk = jnp.einsum("era,erc,ecb->eab", j_stack, w_info, j_stack)  # (E,12,12)
@@ -197,14 +197,18 @@ def _chi2_and_normal(graph: PoseGraph, poses: jax.Array, build: bool):
     pidx = graph.p_node[:, None] * 6 + jnp.arange(6)
     h = h.at[pidx[:, :, None], pidx[:, None, :]].add(hp_blk)
     b = b.at[pidx].add(bp_blk)
+    return chi2, h, b
 
-    # gauge fix node 0 + regularize invalid/unconstrained nodes
-    free = graph.node_valid & (jnp.arange(k) > 0)
+
+def _apply_gauge(h: jax.Array, b: jax.Array, node_valid: jax.Array):
+    """Fix node 0 and regularize invalid/unconstrained nodes."""
+    k = node_valid.shape[0]
+    free = node_valid & (jnp.arange(k) > 0)
     free6 = jnp.repeat(free, 6)
     h = jnp.where(free6[:, None] & free6[None, :], h, 0.0)
     h = h + jnp.diag(jnp.where(free6, 0.0, 1.0))
     b = jnp.where(free6, b, 0.0)
-    return chi2, h, b
+    return h, b
 
 
 class OptimizeResult(NamedTuple):
@@ -226,6 +230,7 @@ def optimize_pose_graph(graph: PoseGraph, num_iterations: int = 128) -> Optimize
     def body(state):
         poses, lam, chi2, it, _ = state
         _, h, b = _chi2_and_normal(graph, poses, build=True)
+        h, b = _apply_gauge(h, b, graph.node_valid)
         damped = h + lam * jnp.diag(jnp.maximum(jnp.diag(h), 1e-6))
         delta = jax.scipy.linalg.solve(damped, -b, assume_a="pos")
         ok = jnp.all(jnp.isfinite(delta))

@@ -129,11 +129,9 @@ def ndt_derivatives_soa(
             jnp.stack([c[i, 2] * y[0] - c[i, 0] * y[2] for i in range(3)]),
             jnp.stack([c[i, 0] * y[1] - c[i, 1] * y[0] for i in range(3)]),
         ], axis=1)   # cs[i,j] = (C S)_{ij}
-        sc = jnp.stack([
-            jnp.stack([-y[2] * c[1, j] + y[1] * c[2, j] for j in range(3)]),
-            jnp.stack([y[2] * c[0, j] - y[0] * c[2, j] for j in range(3)]),
-            jnp.stack([-y[1] * c[0, j] + y[0] * c[1, j] for j in range(3)]),
-        ], axis=0)
+        # with S antisymmetric and C symmetric: SC = -(CS)^T, so only CS and
+        # S C S need computing; scs[i,j] = sum_k (SC)_{ik} S_{kj} = -(CS)^T S
+        sc = -jnp.swapaxes(cs, 0, 1)
         scs = jnp.stack([
             jnp.stack([sc[i, 1] * y[2] - sc[i, 2] * y[1] for i in range(3)]),
             jnp.stack([sc[i, 2] * y[0] - sc[i, 0] * y[2] for i in range(3)]),
@@ -142,12 +140,11 @@ def ndt_derivatives_soa(
 
         c_sum = jnp.einsum("n,ijn->ij", f, c)
         cs_sum = jnp.einsum("n,ijn->ij", f, cs)
-        sc_sum = jnp.einsum("n,ijn->ij", f, sc)
         scs_sum = jnp.einsum("n,ijn->ij", f, scs)
         h3 = jnp.zeros((6, 6))
         h3 = h3.at[:3, :3].set(c_sum)
         h3 = h3.at[:3, 3:].set(-cs_sum)
-        h3 = h3.at[3:, :3].set(sc_sum)
+        h3 = h3.at[3:, :3].set(-cs_sum.T)
         h3 = h3.at[3:, 3:].set(-scs_sum)
 
         hess = hess + h1 + h2 + h3

@@ -159,6 +159,91 @@ def ndt_align_sharded(
     return fn(vmaps, src_xyz, src_mask, guesses)
 
 
+def optimize_pose_graph_sharded(
+    mesh: Mesh,
+    graph,
+    num_iterations: int = 64,
+):
+    """Edge/prior-sharded pose-graph LM.
+
+    Factors (edges + priors) are sharded across every device of the mesh;
+    each shard assembles its partial dense normal system, a `psum` over ICI
+    merges them (the block-sparse J^T J assembly as one collective), and the
+    LM loop runs replicated (every chip performs the identical 6K x 6K
+    Cholesky — cheaper than distributing a solve this small). Node state is
+    replicated. Results match `optimize_pose_graph` to float tolerance.
+    """
+    from lv_slam_tpu.graph import pose_graph as pg
+
+    axes = mesh.axis_names
+
+    def local(g: pg.PoseGraph):
+        chi2_0, _, _ = pg._chi2_and_normal(g, g.poses, build=False)
+        for ax in axes:
+            chi2_0 = jax.lax.psum(chi2_0, ax)
+
+        def system(poses):
+            chi2, h, b = pg._chi2_and_normal(g, poses, build=True)
+            for ax in axes:
+                chi2 = jax.lax.psum(chi2, ax)
+                h = jax.lax.psum(h, ax)
+                b = jax.lax.psum(b, ax)
+            return chi2, *pg._apply_gauge(h, b, g.node_valid)
+
+        def chi2_of(poses):
+            chi2, _, _ = pg._chi2_and_normal(g, poses, build=False)
+            for ax in axes:
+                chi2 = jax.lax.psum(chi2, ax)
+            return chi2
+
+        def cond(state):
+            return ~state[-1]
+
+        def body(state):
+            poses, lam, chi2, it, _ = state
+            _, h, b = system(poses)
+            damped = h + lam * jnp.diag(jnp.maximum(jnp.diag(h), 1e-6))
+            delta = jax.scipy.linalg.solve(damped, -b, assume_a="pos")
+            ok = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(ok, delta, 0.0)
+            step = delta.reshape(g.poses.shape[0], 6)
+            new_poses = jax.vmap(lambda d, t: se3.exp_se3(d) @ t)(step, poses)
+            new_chi2 = chi2_of(new_poses)
+            accept = ok & (new_chi2 <= chi2)
+            poses = jnp.where(accept, new_poses, poses)
+            chi2_next = jnp.where(accept, new_chi2, chi2)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+            it = it + 1
+            small = jnp.max(jnp.abs(delta)) < 1e-6
+            rel_ok = accept & ((chi2 - chi2_next) < 1e-8 * (chi2 + 1e-12))
+            converged = (it >= num_iterations) | small | rel_ok
+            return poses, lam, chi2_next, it, converged
+
+        init = (g.poses, jnp.float32(1e-4), chi2_0, jnp.int32(0), jnp.bool_(False))
+        poses, _, chi2_after, it, _ = jax.lax.while_loop(cond, body, init)
+        anchor = g.poses[0] @ se3.inverse(poses[0])
+        poses = jnp.einsum("ij,njk->nik", anchor, poses)
+        return poses, chi2_0, chi2_after, it
+
+    factor_spec = P(axes)  # shard factor arrays over all mesh axes jointly
+    in_specs = graph._replace(
+        poses=P(), node_valid=P(),
+        e_i=factor_spec, e_j=factor_spec, e_meas=factor_spec,
+        e_info=factor_spec, e_huber=factor_spec, e_valid=factor_spec,
+        p_node=factor_spec, p_type=factor_spec, p_meas=factor_spec,
+        p_info=factor_spec, p_huber=factor_spec, p_valid=factor_spec,
+    )
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(in_specs,), out_specs=(P(), P(), P(), P())
+    )
+    poses, chi2_before, chi2_after, it = fn(graph)
+    from lv_slam_tpu.graph.pose_graph import OptimizeResult
+
+    return OptimizeResult(
+        poses=poses, chi2_before=chi2_before, chi2_after=chi2_after, iterations=it
+    )
+
+
 def stack_maps(maps: list) -> VoxelMap:
     """Stack VoxelMap pytrees along a new leading batch axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *maps)
