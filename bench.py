@@ -31,7 +31,9 @@ import numpy as np  # noqa: E402
 
 def main():
     n_scans = int(os.environ.get("BENCH_SCANS", "40"))
-    mode = os.environ.get("BENCH_MODE", "fused")  # fused | host
+    # full = NDT odometry + global graph (the BASELINE.json metric);
+    # fused = odometry only; host = per-scan host-driver odometry
+    mode = os.environ.get("BENCH_MODE", "full")
     import jax.numpy as jnp
 
     from lv_slam_tpu.config import NDTConfig, OdometryConfig
@@ -46,7 +48,7 @@ def main():
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
     extra = {}
 
-    if mode == "fused":
+    if mode in ("fused", "full"):
         from lv_slam_tpu.odometry.fused import run_sequence_fused
 
         clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
@@ -54,8 +56,28 @@ def main():
         mask = jnp.stack([c.mask for c in clouds])
         stamps = jnp.arange(n_scans, dtype=jnp.float32) * 0.1
 
+        def run_ggo(poses_np):
+            """Global-graph cycle over the odometry output (flagship config)."""
+            from lv_slam_tpu.config import GraphConfig, LoopDetectorConfig
+            from lv_slam_tpu.pipeline.backend import GlobalGraph
+
+            backend = GlobalGraph(
+                GraphConfig(keyframe_cap=64, edge_cap=256, solver_num_iterations=64),
+                LoopDetectorConfig(),
+            )
+            for i in range(n_scans):
+                backend.add_scan(i, i * 0.1, poses_np[i], clouds[i])
+                if i % 10 == 9:
+                    backend.optimize()
+            backend.finish()
+            while backend.keyframe_queue:
+                backend.optimize()
+            return backend
+
         # warm-up compiles every step variant once
         est = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg))
+        if mode == "full":
+            run_ggo(est)
         reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
         # NOTE: through the remote-TPU relay `block_until_ready` does not
         # actually block; a host fetch is the only true synchronization. The
@@ -65,7 +87,10 @@ def main():
         for _ in range(reps):
             t0 = time.perf_counter()
             out = run_sequence_fused(xyz, mask, stamps, cfg)
-            _ = np.asarray(out)  # true sync
+            poses_np = np.asarray(out)  # true sync
+            if mode == "full":
+                backend = run_ggo(poses_np)
+                extra["keyframes"] = len(backend.keyframes)
             times.append(time.perf_counter() - t0)
         elapsed = min(times)
         timed = n_scans
@@ -92,7 +117,7 @@ def main():
     drift_ok = final_err < 0.02 * max(1.0, n_scans)  # < 2% of distance
 
     result = {
-        "metric": "dlo_scans_per_sec_per_chip",
+        "metric": "slam_scans_per_sec_per_chip" if mode == "full" else "dlo_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 2),

@@ -56,30 +56,17 @@ class LoopDetector:
         self.vocabulary = vocabulary  # optional graph/bow.Vocabulary
         self.last_edge_accum_distance = 0.0
         c = self.cfg
+        from lv_slam_tpu.utils.jit_cache import build_map_fn, ndt_align_fn
+
         # coarse-to-fine ladder: e.g. (4.0, 2.0, 1.0); see LoopDetectorConfig
         self._resolutions = tuple(c.multiscale) + (c.ndt_resolution,)
         self._builds = {
-            r: jax.jit(
-                functools.partial(
-                    build_voxel_map,
-                    resolution=r,
-                    leaf_cap=leaf_cap,
-                    lut_extent=lut_extent,
-                    weighted=False,
-                )
-            )
-            for r in self._resolutions
+            r: build_map_fn(r, leaf_cap, lut_extent) for r in self._resolutions
         }
         self._aligns = {
-            r: jax.jit(
-                functools.partial(
-                    ndt_align,
-                    resolution=r,
-                    transformation_epsilon=0.01,
-                    max_iterations=64,
-                    neighborhood=c.ndt_neighborhood,
-                    weighted=False,
-                )
+            r: ndt_align_fn(
+                r, transformation_epsilon=0.01, max_iterations=64,
+                neighborhood=c.ndt_neighborhood,
             )
             for r in self._resolutions
         }

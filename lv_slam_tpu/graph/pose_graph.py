@@ -66,22 +66,27 @@ class PoseGraph(NamedTuple):
 
 
 def empty_graph(node_cap: int = 1024, edge_cap: int = 4096, prior_cap: int = 256) -> PoseGraph:
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (node_cap, 4, 4))
+    """Host-side (numpy) graph arrays: graph *construction* is incremental
+    host work (one write per factor); only `optimize_pose_graph` ships the
+    arrays to device. Device-side .at[].set per edge would bake each slot
+    index into a fresh executable — pathological through a remote TPU link."""
+    import numpy as _np
+
     return PoseGraph(
-        poses=eye,
-        node_valid=jnp.zeros((node_cap,), bool),
-        e_i=jnp.zeros((edge_cap,), jnp.int32),
-        e_j=jnp.zeros((edge_cap,), jnp.int32),
-        e_meas=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (edge_cap, 4, 4)),
-        e_info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (edge_cap, 6, 6)),
-        e_huber=jnp.zeros((edge_cap,), jnp.float32),
-        e_valid=jnp.zeros((edge_cap,), bool),
-        p_node=jnp.zeros((prior_cap,), jnp.int32),
-        p_type=jnp.zeros((prior_cap,), jnp.int32),
-        p_meas=jnp.zeros((prior_cap, 8), jnp.float32),
-        p_info=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (prior_cap, 4, 4)),
-        p_huber=jnp.zeros((prior_cap,), jnp.float32),
-        p_valid=jnp.zeros((prior_cap,), bool),
+        poses=_np.tile(_np.eye(4, dtype=_np.float32), (node_cap, 1, 1)),
+        node_valid=_np.zeros((node_cap,), bool),
+        e_i=_np.zeros((edge_cap,), _np.int32),
+        e_j=_np.zeros((edge_cap,), _np.int32),
+        e_meas=_np.tile(_np.eye(4, dtype=_np.float32), (edge_cap, 1, 1)),
+        e_info=_np.tile(_np.eye(6, dtype=_np.float32), (edge_cap, 1, 1)),
+        e_huber=_np.zeros((edge_cap,), _np.float32),
+        e_valid=_np.zeros((edge_cap,), bool),
+        p_node=_np.zeros((prior_cap,), _np.int32),
+        p_type=_np.zeros((prior_cap,), _np.int32),
+        p_meas=_np.zeros((prior_cap, 8), _np.float32),
+        p_info=_np.tile(_np.eye(4, dtype=_np.float32), (prior_cap, 1, 1)),
+        p_huber=_np.zeros((prior_cap,), _np.float32),
+        p_valid=_np.zeros((prior_cap,), bool),
     )
 
 
@@ -263,36 +268,40 @@ def optimize_pose_graph(graph: PoseGraph, num_iterations: int = 128) -> Optimize
 
 
 def add_node(graph: PoseGraph, idx: int, pose) -> PoseGraph:
-    return graph._replace(
-        poses=graph.poses.at[idx].set(jnp.asarray(pose, jnp.float32)),
-        node_valid=graph.node_valid.at[idx].set(True),
-    )
+    """In-place host write (graph arrays must be numpy, see empty_graph)."""
+    import numpy as _np
+
+    graph.poses[idx] = _np.asarray(pose, _np.float32)
+    graph.node_valid[idx] = True
+    return graph
 
 
 def add_se3_edge(graph: PoseGraph, slot: int, i: int, j: int, meas, info, huber: float = 0.0) -> PoseGraph:
-    return graph._replace(
-        e_i=graph.e_i.at[slot].set(i),
-        e_j=graph.e_j.at[slot].set(j),
-        e_meas=graph.e_meas.at[slot].set(jnp.asarray(meas, jnp.float32)),
-        e_info=graph.e_info.at[slot].set(jnp.asarray(info, jnp.float32)),
-        e_huber=graph.e_huber.at[slot].set(huber),
-        e_valid=graph.e_valid.at[slot].set(True),
-    )
+    import numpy as _np
+
+    graph.e_i[slot] = i
+    graph.e_j[slot] = j
+    graph.e_meas[slot] = _np.asarray(meas, _np.float32)
+    graph.e_info[slot] = _np.asarray(info, _np.float32)
+    graph.e_huber[slot] = huber
+    graph.e_valid[slot] = True
+    return graph
 
 
 def add_prior(graph: PoseGraph, slot: int, node: int, p_type: int, meas, info, huber: float = 0.0) -> PoseGraph:
-    meas = jnp.asarray(meas, jnp.float32)
-    packed = jnp.zeros((8,), jnp.float32).at[: meas.shape[0]].set(meas)
-    info = jnp.asarray(info, jnp.float32)
-    info4 = jnp.eye(4, dtype=jnp.float32).at[: info.shape[0], : info.shape[1]].set(info)
-    return graph._replace(
-        p_node=graph.p_node.at[slot].set(node),
-        p_type=graph.p_type.at[slot].set(p_type),
-        p_meas=graph.p_meas.at[slot].set(packed),
-        p_info=graph.p_info.at[slot].set(info4),
-        p_huber=graph.p_huber.at[slot].set(huber),
-        p_valid=graph.p_valid.at[slot].set(True),
-    )
+    import numpy as _np
+
+    meas = _np.asarray(meas, _np.float32).reshape(-1)
+    info = _np.asarray(info, _np.float32)
+    graph.p_node[slot] = node
+    graph.p_type[slot] = p_type
+    graph.p_meas[slot] = 0.0
+    graph.p_meas[slot, : meas.shape[0]] = meas
+    graph.p_info[slot] = _np.eye(4, dtype=_np.float32)
+    graph.p_info[slot, : info.shape[0], : info.shape[1]] = info
+    graph.p_huber[slot] = huber
+    graph.p_valid[slot] = True
+    return graph
 
 
 PRIOR_XYZ, PRIOR_XY, PRIOR_QUAT, PRIOR_VEC, PRIOR_PLANE = range(5)

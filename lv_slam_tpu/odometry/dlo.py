@@ -38,6 +38,11 @@ from lv_slam_tpu.ops.prefilter import prefilter
 from lv_slam_tpu.ops.voxel_map import build_voxel_map
 
 
+@functools.lru_cache(maxsize=16)
+def _prefilter_cache(prefilter_cfg: PrefilterConfig):
+    return jax.jit(functools.partial(prefilter, cfg=prefilter_cfg))
+
+
 @dataclasses.dataclass
 class OdometryStats:
     scan_count: int = 0
@@ -63,33 +68,19 @@ class DirectLidarOdometry:
         self.prefilter_cfg = prefilter_cfg
         ndt = self.cfg.ndt
 
-        self._build = jax.jit(
-            functools.partial(
-                build_voxel_map,
-                resolution=ndt.resolution,
-                leaf_cap=ndt.leaf_cap,
-                lut_extent=ndt.lut_extent,
-                min_points_per_voxel=ndt.min_points_per_voxel,
-                min_covar_eigvalue_mult=ndt.min_covar_eigvalue_mult,
-                weighted=ndt.weighted,
-            )
+        from lv_slam_tpu.utils.jit_cache import build_map_fn, ndt_align_fn
+
+        self._build = build_map_fn(
+            ndt.resolution, ndt.leaf_cap, ndt.lut_extent,
+            ndt.min_points_per_voxel, ndt.min_covar_eigvalue_mult, ndt.weighted,
         )
-        self._align = jax.jit(
-            functools.partial(
-                ndt_align,
-                resolution=ndt.resolution,
-                outlier_ratio=ndt.outlier_ratio,
-                step_size=ndt.step_size,
-                transformation_epsilon=ndt.transformation_epsilon,
-                max_iterations=ndt.max_iterations,
-                neighborhood=ndt.neighborhood,
-                weighted=ndt.weighted,
-            )
+        self._align = ndt_align_fn(
+            ndt.resolution, ndt.outlier_ratio, ndt.step_size,
+            ndt.transformation_epsilon, ndt.max_iterations,
+            ndt.neighborhood, ndt.weighted,
         )
         if prefilter_cfg is not None:
-            self._prefilter = jax.jit(
-                functools.partial(prefilter, cfg=prefilter_cfg)
-            )
+            self._prefilter = _prefilter_cache(prefilter_cfg)
         else:
             self._prefilter = None
         self.reset()

@@ -67,17 +67,18 @@ class GlobalGraph:
         self._n_priors = 0
         self._orb = None
 
-        # window accumulation state
-        self._w_parts: List[np.ndarray] = []
+        # window accumulation state: device clouds + window-relative transforms
+        self._w_parts: List[tuple] = []  # (PointCloud, (4,4) np rel transform)
         self._w_odom: Optional[np.ndarray] = None
         self._w_seq = -1
         self._w_stamp = 0.0
         self._w_image = None
         self._w_accum = 0.0
 
-        self._downsample = jax.jit(
-            lambda c: voxel_downsample(c, 0.1, self.keyframe_cloud_cap)
-        )
+        from lv_slam_tpu.utils.jit_cache import downsample_fn, transform_cloud_fn
+
+        self._downsample = downsample_fn(0.1, self.keyframe_cloud_cap)
+        self._transform_cloud = transform_cloud_fn()
 
     # ------------------------------------------------------------------ scans
     def add_scan(
@@ -93,7 +94,7 @@ class GlobalGraph:
         if self.updater.update(odom):
             if self._w_odom is not None:
                 self._flush_window()
-            self._w_parts = [cloud.to_numpy()]
+            self._w_parts = [(cloud, np.eye(4))]
             self._w_odom = odom
             self._w_seq = seq
             self._w_stamp = stamp
@@ -101,18 +102,34 @@ class GlobalGraph:
             self._w_accum = self.updater.accum_distance
         elif self._w_odom is not None:
             rel = np.linalg.inv(self._w_odom) @ odom
-            pts = cloud.to_numpy()
-            pts[:, :3] = pts[:, :3] @ rel[:3, :3].T + rel[:3, 3]
-            self._w_parts.append(pts)
+            self._w_parts.append((cloud, rel))
 
     def _flush_window(self) -> None:
-        merged = np.concatenate(self._w_parts, axis=0)
-        cap = 1
-        while cap < merged.shape[0]:
-            cap *= 2
-        window = PointCloud.from_numpy(merged, cap=cap)
-        downsampled = self._downsample(window.compact(self.keyframe_cloud_cap * 4)
-                                       if cap > self.keyframe_cloud_cap * 4 else window)
+        # motion-compose the window on device (global_graph_nodelet.cpp:237-244)
+        xyz_parts, int_parts, mask_parts = [], [], []
+        for cloud, rel in self._w_parts:
+            moved = self._transform_cloud(cloud, jnp.asarray(rel, jnp.float32))
+            xyz_parts.append(moved.xyz)
+            int_parts.append(moved.intensity)
+            mask_parts.append(moved.mask)
+        # pad the part count to a power of two so the downsample jit sees a
+        # bounded set of shapes (window length varies per keyframe interval)
+        cap = xyz_parts[0].shape[0]
+        target = 1
+        while target < len(xyz_parts):
+            target *= 2
+        from lv_slam_tpu.core.cloud import SENTINEL
+
+        while len(xyz_parts) < target:
+            xyz_parts.append(jnp.full((cap, 3), SENTINEL, jnp.float32))
+            int_parts.append(jnp.zeros((cap,), jnp.float32))
+            mask_parts.append(jnp.zeros((cap,), bool))
+        window = PointCloud(
+            jnp.concatenate(xyz_parts, axis=0),
+            jnp.concatenate(int_parts, axis=0),
+            jnp.concatenate(mask_parts, axis=0),
+        )
+        downsampled = self._downsample(window)
         descriptor = keypoints = None
         if self._w_image is not None:
             descriptor, keypoints = self._extract_orb(self._w_image)
@@ -174,7 +191,7 @@ class GlobalGraph:
             self.graph, num_iterations or cfg.solver_num_iterations
         )
         poses = np.asarray(result.poses, np.float64)
-        self.graph = self.graph._replace(poses=result.poses)
+        self.graph.poses[:] = poses.astype(np.float32)  # host arrays, in place
         for kf in self.keyframes:
             kf.estimate = poses[kf.node_id]
 

@@ -1,0 +1,64 @@
+"""Process-level caches for jitted step functions.
+
+Per-instance `jax.jit(lambda ...)` closures defeat JAX's python-level
+executable cache: every new driver object retraces and re-queries the
+compilation cache, which costs seconds per shape through a remote-TPU
+compile service. All hot step functions are built here once per
+configuration via `lru_cache`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from lv_slam_tpu.ops.ndt import ndt_align
+from lv_slam_tpu.ops.prefilter import voxel_downsample
+from lv_slam_tpu.ops.voxel_map import build_voxel_map
+
+
+@functools.lru_cache(maxsize=32)
+def downsample_fn(resolution: float, out_cap: int):
+    return jax.jit(lambda c: voxel_downsample(c, resolution, out_cap))
+
+
+@functools.lru_cache(maxsize=8)
+def transform_cloud_fn():
+    return jax.jit(lambda c, t: c.transformed(t))
+
+
+@functools.lru_cache(maxsize=32)
+def build_map_fn(resolution: float, leaf_cap: int, lut_extent: int,
+                 min_points_per_voxel: int = 6, min_covar_eigvalue_mult: float = 0.01,
+                 weighted: bool = False):
+    return jax.jit(
+        functools.partial(
+            build_voxel_map,
+            resolution=resolution,
+            leaf_cap=leaf_cap,
+            lut_extent=lut_extent,
+            min_points_per_voxel=min_points_per_voxel,
+            min_covar_eigvalue_mult=min_covar_eigvalue_mult,
+            weighted=weighted,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def ndt_align_fn(resolution: float, outlier_ratio: float = 0.55,
+                 step_size: float = 0.1, transformation_epsilon: float = 0.01,
+                 max_iterations: int = 35, neighborhood: str = "DIRECT7",
+                 weighted: bool = False):
+    return jax.jit(
+        functools.partial(
+            ndt_align,
+            resolution=resolution,
+            outlier_ratio=outlier_ratio,
+            step_size=step_size,
+            transformation_epsilon=transformation_epsilon,
+            max_iterations=max_iterations,
+            neighborhood=neighborhood,
+            weighted=weighted,
+        )
+    )
