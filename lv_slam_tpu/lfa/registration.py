@@ -100,16 +100,26 @@ def planes_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) ->
     0.2 m of the fit."""
     dists, pts, valid = knn(grid, y, k=k)
     w = valid.astype(jnp.float32)
-    # solve min |A n + 1|^2 with A = pts (k,3), weighted by validity
-    ata = jnp.einsum("nki,nk,nkj->nij", pts, w, pts) + 1e-6 * jnp.eye(3)
-    atb = -jnp.einsum("nki,nk->ni", pts, w)
-    n = jnp.linalg.solve(ata, atb[..., None])[..., 0]
-    inv_norm = 1.0 / jnp.maximum(jnp.linalg.norm(n, axis=1), 1e-9)
-    n_hat = n * inv_norm[:, None]
-    d = inv_norm
+    # A-LOAM solves A n = -1 on raw coordinates; at ~100 m ranges that is
+    # hopelessly ill-conditioned in float32 (cond ~ |p|^2 / spread^2). The
+    # PCA fit on centered coordinates — normal = smallest-eigenvalue
+    # direction of the neighborhood scatter — is the well-conditioned
+    # equivalent (identical plane for clean data).
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mu = jnp.sum(pts * w[..., None], axis=1) / cnt[:, None]
+    c = (pts - mu[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[:, None, None]
+    from lv_slam_tpu.ops.linalg3 import eigh3x3
+
+    _, evecs = eigh3x3(cov + 1e-9 * jnp.eye(3))
+    n_hat = evecs[:, :, 0]
+    d = -jnp.sum(n_hat * mu, axis=1)
     resid = jnp.abs(jnp.einsum("nki,ni->nk", pts, n_hat) + d[:, None])
+    finite = jnp.all(jnp.isfinite(n_hat), axis=1) & jnp.isfinite(d)
     flat_enough = jnp.all(jnp.where(valid, resid, 0.0) < 0.2, axis=1)
-    ok = mask & (jnp.sum(w, axis=1) >= k) & (dists[:, k - 1] < 1.0) & flat_enough
+    ok = mask & (jnp.sum(w, axis=1) >= k) & (dists[:, k - 1] < 1.0) & flat_enough & finite
+    n_hat = jnp.where(ok[:, None] & jnp.isfinite(n_hat), n_hat, 0.0)
+    d = jnp.where(ok & jnp.isfinite(d), d, 0.0)
     return PlaneField(n=n_hat, d=d, valid=ok)
 
 
@@ -120,14 +130,20 @@ def planes_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) ->
 
 def _residuals(delta, transform, edges, lines: LineField, surfs, planes: PlaneField):
     t = se3.exp_se3(delta) @ transform
-    ye = se3.transform_points(t, edges)
-    diff = ye - lines.mu
+    # Zero invalid lanes BEFORE the nonlinear ops: padded sentinel points
+    # (~1e6) overflow float32 in the squared terms, and the resulting
+    # inf/nan poisons the whole J^T J reduction even at weight 0.
+    e_pts = jnp.where(lines.valid[:, None], edges, 0.0)
+    mu = jnp.where(lines.valid[:, None], lines.mu, 0.0)
+    ye = se3.transform_points(t, e_pts)
+    diff = ye - mu
     cross = jnp.cross(diff, lines.v)
     # eps inside the sqrt keeps the gradient finite at exactly-on-line points
-    # (their weight is 0 but 0 * nan would still poison the reduction)
     r_edge = jnp.sqrt(jnp.sum(cross * cross, axis=1) + 1e-12)
-    ys = se3.transform_points(t, surfs)
-    r_surf = jnp.sum(ys * planes.n, axis=1) + planes.d
+    s_pts = jnp.where(planes.valid[:, None], surfs, 0.0)
+    d = jnp.where(planes.valid, jnp.clip(planes.d, -1e4, 1e4), 0.0)
+    ys = se3.transform_points(t, s_pts)
+    r_surf = jnp.sum(ys * planes.n, axis=1) + d
     return r_edge, r_surf
 
 

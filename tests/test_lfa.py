@@ -54,6 +54,30 @@ def test_lfa_pipeline_tracks(lfa_sequence):
         rel_gt = np.linalg.inv(gt_rel[i - 1]) @ gt_rel[i]
         rel_est = np.linalg.inv(est[i - 1]) @ est[i]
         err = np.linalg.norm((np.linalg.inv(rel_est) @ rel_gt)[:3, 3])
-        assert err < 0.25, (i, err)
+        assert err < 0.10, (i, err)
     final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3])
-    assert final_err < 0.6, final_err
+    assert final_err < 0.25, final_err
+
+
+def test_lfa_mapping_corrects_bad_seed(lfa_sequence):
+    """Scan-to-map refinement must pull a perturbed odometry seed back to the
+    map (this was silently a no-op before the NaN-poisoning fix)."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.lfa.features import extract_features
+    from lv_slam_tpu.lfa.mapping import FeatureMapping
+    from lv_slam_tpu.core.cloud import PointCloud
+
+    scans, gt = lfa_sequence
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    mapper = FeatureMapping(_CFG)
+    for i in range(3):
+        feats = extract_features(PointCloud.from_numpy(scans[i], cap=32768), _CFG)
+        mapper.process(feats, gt_rel[i])
+    feats = extract_features(PointCloud.from_numpy(scans[3], cap=32768), _CFG)
+    bad_seed = gt_rel[3].copy()
+    bad_seed[0, 3] += 0.3
+    bad_seed[1, 3] -= 0.2
+    refined = mapper.process(feats, bad_seed)
+    err = np.linalg.norm(refined[:3, 3] - gt_rel[3][:3, 3])
+    assert err < 0.08, err
