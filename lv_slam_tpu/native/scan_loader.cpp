@@ -124,8 +124,11 @@ struct Prefetcher {
       slot.index = idx;
       slot.n_points = lv_load_bin(paths[idx].c_str(), slot.data.data(), cap);
       std::unique_lock<std::mutex> lock(mu);
+      // Admission by sequence window, NOT queue occupancy: occupancy-based
+      // waiting deadlocks when out-of-order completions fill the queue while
+      // the next-in-order slot's thread is the one blocked.
       cv_space.wait(lock, [&] {
-        return stop.load() || ready.size() + out_of_order.size() < max_queue;
+        return stop.load() || (idx - next_to_emit) < static_cast<long>(max_queue);
       });
       if (stop.load()) return;
       out_of_order.push_back(std::move(slot));

@@ -74,6 +74,7 @@ class GlobalGraph:
         self._w_stamp = 0.0
         self._w_image = None
         self._w_accum = 0.0
+        self._w_sensors: dict = {}
 
         from lv_slam_tpu.utils.jit_cache import downsample_fn, transform_cloud_fn
 
@@ -88,9 +89,17 @@ class GlobalGraph:
         odom: np.ndarray,
         cloud: PointCloud,
         image: Optional[np.ndarray] = None,
+        gps_xyz: Optional[np.ndarray] = None,
+        imu_quat_wxyz: Optional[np.ndarray] = None,
+        imu_acceleration: Optional[np.ndarray] = None,
+        floor_coeffs: Optional[np.ndarray] = None,
     ) -> None:
         odom = np.asarray(odom, np.float64)
         self.odoms[seq] = odom
+        sensors = dict(
+            gps=gps_xyz, imu_quat=imu_quat_wxyz, imu_acc=imu_acceleration,
+            floor=floor_coeffs,
+        )
         if self.updater.update(odom):
             if self._w_odom is not None:
                 self._flush_window()
@@ -100,9 +109,15 @@ class GlobalGraph:
             self._w_stamp = stamp
             self._w_image = image
             self._w_accum = self.updater.accum_distance
+            self._w_sensors = {k: v for k, v in sensors.items() if v is not None}
         elif self._w_odom is not None:
             rel = np.linalg.inv(self._w_odom) @ odom
             self._w_parts.append((cloud, rel))
+            # latest reading within the window wins (the reference associates
+            # the closest-in-time message to the keyframe)
+            for k, v in sensors.items():
+                if v is not None:
+                    self._w_sensors[k] = v
 
     def _flush_window(self) -> None:
         # motion-compose the window on device (global_graph_nodelet.cpp:237-244)
@@ -142,6 +157,8 @@ class GlobalGraph:
             descriptor=descriptor,
             keypoints=keypoints,
         )
+        kf._pending_sensors = dict(self._w_sensors)  # attached at flush
+        self._w_sensors = {}
         self.keyframe_queue.append(kf)
 
     def finish(self) -> None:
@@ -231,6 +248,17 @@ class GlobalGraph:
                 huber=_huber_size(cfg.odometry_edge_robust_kernel, cfg.odometry_edge_robust_kernel_size),
             )
             self._n_edges += 1
+        # attach queued sensor priors now that node ids exist
+        for kf in self.new_keyframes[-n:]:
+            pending = getattr(kf, "_pending_sensors", None) or {}
+            if "gps" in pending and cfg.enable_gps:
+                self.add_gps_prior(kf, np.asarray(pending["gps"]))
+            if "imu_quat" in pending and cfg.enable_imu_orientation:
+                self.add_imu_orientation_prior(kf, np.asarray(pending["imu_quat"]))
+            if "imu_acc" in pending and cfg.enable_imu_acceleration:
+                self.add_imu_acceleration_prior(kf, np.asarray(pending["imu_acc"]))
+            if "floor" in pending:
+                self.add_floor_prior(kf, np.asarray(pending["floor"]))
         del self.keyframe_queue[:n]
         return True
 

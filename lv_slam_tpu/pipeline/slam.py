@@ -58,8 +58,22 @@ class LvSlam:
         self.dlo_poses: list[np.ndarray] = []
         self.lfa_poses: list[np.ndarray] = []
 
-    def process(self, scan: np.ndarray, stamp: float, image: Optional[np.ndarray] = None) -> np.ndarray:
-        """One raw (M,4) scan in -> current odometry pose out."""
+    def process(
+        self,
+        scan: np.ndarray,
+        stamp: float,
+        image: Optional[np.ndarray] = None,
+        gps_xyz: Optional[np.ndarray] = None,
+        imu_quat_wxyz: Optional[np.ndarray] = None,
+        imu_acceleration: Optional[np.ndarray] = None,
+        detect_floor: bool = False,
+    ) -> np.ndarray:
+        """One raw (M,4) scan in -> current odometry pose out.
+
+        Optional sensor attachments mirror the reference's GPS/IMU/floor
+        queues (`global_graph_nodelet.cpp:314-627`): each is attached to the
+        NEXT keyframe created at/after this scan as a unary prior.
+        """
         cloud = PointCloud.from_numpy(scan, cap=self.scan_cap)
 
         odom = np.eye(4)
@@ -77,7 +91,18 @@ class LvSlam:
 
         # the backend receives the (prefiltered) cloud like /filtered_points
         filtered = self.dlo._prefilter(cloud) if (self.dlo and self.dlo._prefilter) else cloud
-        self.backend.add_scan(self._seq, stamp, odom, filtered, image=image)
+        floor_coeffs = None
+        if detect_floor:
+            from lv_slam_tpu.ops.floor import detect_floor as _detect
+
+            result = _detect(filtered)
+            if bool(result.found):
+                floor_coeffs = np.asarray(result.coeffs)
+        self.backend.add_scan(
+            self._seq, stamp, odom, filtered, image=image,
+            gps_xyz=gps_xyz, imu_quat_wxyz=imu_quat_wxyz,
+            imu_acceleration=imu_acceleration, floor_coeffs=floor_coeffs,
+        )
         self._seq += 1
         if self._seq % self.optimize_every == 0:
             self.backend.optimize()
