@@ -63,6 +63,7 @@ class GlobalGraph:
         self.loops: List[Loop] = []
         self.odoms: Dict[int, np.ndarray] = {}
         self.trans_odom2map = np.eye(4)
+        self.zero_utm: Optional[np.ndarray] = None
         self._n_edges = 0
         self._n_priors = 0
         self._orb = None
@@ -264,15 +265,22 @@ class GlobalGraph:
 
     # --------------------------------------------------------------- priors
     def add_gps_prior(self, kf: KeyFrame, xyz: np.ndarray) -> None:
+        """GPS position prior. Like the reference, the first UTM fix becomes
+        `zero_utm` and all measurements are expressed relative to it
+        (`global_graph_nodelet.cpp:407-441`)."""
         cfg = self.cfg
+        xyz = np.asarray(xyz, np.float64)
+        if self.zero_utm is None:
+            self.zero_utm = xyz.copy()
+        rel = xyz - self.zero_utm
         info = np.diag(
             [1.0 / cfg.gps_edge_stddev_xy, 1.0 / cfg.gps_edge_stddev_xy, 1.0 / cfg.gps_edge_stddev_z]
         )
         self.graph = pg.add_prior(
-            self.graph, self._n_priors, kf.node_id, pg.PRIOR_XYZ, xyz, info, huber=1.0
+            self.graph, self._n_priors, kf.node_id, pg.PRIOR_XYZ, rel, info, huber=1.0
         )
         self._n_priors += 1
-        kf.utm_coord = np.asarray(xyz)
+        kf.utm_coord = xyz
 
     def add_imu_orientation_prior(self, kf: KeyFrame, quat_wxyz: np.ndarray) -> None:
         cfg = self.cfg
@@ -323,6 +331,9 @@ class GlobalGraph:
                         f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
                 f.write(f"id {kf.node_id}\n")
             pcd.write_pcd(os.path.join(kf_dir, "cloud.pcd"), kf.cloud.to_numpy())
+        if self.zero_utm is not None:
+            with open(os.path.join(directory, "zero_utm"), "w") as f:
+                f.write(" ".join(f"{v:.9f}" for v in self.zero_utm) + "\n")
         with open(os.path.join(directory, "special_nodes.csv"), "w") as f:
             f.write("anchor_node -1\n")
             f.write("anchor_edge -1\n")
@@ -330,8 +341,9 @@ class GlobalGraph:
         self.save_pose(directory)
         return True
 
-    def save_map(self, destination: str, resolution: float = 0.05) -> bool:
-        """`/global_graph/save_map` (:1035-1070)."""
+    def save_map(self, destination: str, resolution: float = 0.05, utm: bool = False) -> bool:
+        """`/global_graph/save_map` (:1035-1070). `utm=True` offsets the map
+        by `zero_utm` (and writes a `.utm` sidecar), like the reference."""
         if not self.keyframes:
             return False
         clouds = [kf.cloud for kf in self.keyframes]
@@ -339,6 +351,12 @@ class GlobalGraph:
         points = generate_map_cloud(clouds, poses, resolution)
         if points.shape[0] == 0:
             return False
+        if utm and self.zero_utm is not None:
+            points = points.copy()
+            points[:, :3] += self.zero_utm
+        if self.zero_utm is not None:
+            with open(destination + ".utm", "w") as f:
+                f.write(" ".join(f"{v:.9f}" for v in self.zero_utm) + "\n")
         pcd.write_pcd(destination, points)
         return True
 
