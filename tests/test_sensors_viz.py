@@ -33,13 +33,15 @@ def _feed(backend, rng, n=10, gps=None):
 
 def test_gps_priors_attach_and_constrain(rng):
     backend = _mini_backend()
-    # GPS says the trajectory is shifted +1 m in y relative to odometry
-    gps = [np.array([i * 2.5, 1.0, 0.0]) for i in range(10)]
+    # GPS (relative to the zero_utm fix, like the reference) reports a
+    # growing +y drift the odometry doesn't see
+    gps = [np.array([i * 2.5, 0.5 * i, 0.0]) for i in range(10)]
     _feed(backend, rng, gps=gps)
     assert any(kf.utm_coord is not None for kf in backend.keyframes)
-    # with strong-ish GPS info the optimized keyframes drift toward y=1
-    ys = [kf.estimate[1, 3] for kf in backend.keyframes[1:]]
-    assert np.mean(ys) > 0.2, ys
+    assert backend.zero_utm is not None
+    # optimized keyframes bend toward the GPS drift signal
+    last = backend.keyframes[-1]
+    assert last.estimate[1, 3] > 0.3, last.estimate[:3, 3]
 
 
 def test_viz_exports(rng, tmp_path):
