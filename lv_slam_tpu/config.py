@@ -58,6 +58,14 @@ class NDTConfig:
     neighborhood: str = "DIRECT1"
     # pclpca weighted NDT (True) vs classical pclomp NDT (False)
     weighted: bool = True
+    # Robustness retry (improvement over reference): when the align result
+    # deviates from the warm-start guess by more than this translation (m),
+    # re-align with `retry_neighborhood` (wider basin) and keep whichever
+    # result scores higher. Warm-start rotation error in curves occasionally
+    # drops DIRECT1 into a neighboring optimum; the retry rescues it at
+    # negligible amortized cost. 0 disables.
+    retry_deviation_thresh: float = 0.15
+    retry_neighborhood: str = "DIRECT7"
     min_points_per_voxel: int = 6
     min_covar_eigvalue_mult: float = 0.01  # eigenvalue inflation, eq 6.11
     # --- capacities ---

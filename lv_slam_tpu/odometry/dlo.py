@@ -49,6 +49,7 @@ class OdometryStats:
     keyframe_count: int = 0
     total_align_time: float = 0.0
     total_iterations: int = 0
+    retries: int = 0
 
     @property
     def mean_align_time(self) -> float:
@@ -79,6 +80,17 @@ class DirectLidarOdometry:
             ndt.transformation_epsilon, ndt.max_iterations,
             ndt.neighborhood, ndt.weighted,
         )
+        if ndt.retry_deviation_thresh > 0:
+            from lv_slam_tpu.utils.jit_cache import ndt_score_fn
+
+            self._align_retry = ndt_align_fn(
+                ndt.resolution, ndt.outlier_ratio, ndt.step_size,
+                ndt.transformation_epsilon, ndt.max_iterations,
+                ndt.retry_neighborhood, ndt.weighted,
+            )
+            self._score = ndt_score_fn(ndt.resolution, ndt.neighborhood, ndt.weighted)
+        else:
+            self._align_retry = None
         if prefilter_cfg is not None:
             self._prefilter = _prefilter_cache(prefilter_cfg)
         else:
@@ -116,12 +128,25 @@ class DirectLidarOdometry:
             return np.eye(4)
 
         t0 = time.perf_counter()
-        result = self._align(self._key_map, cloud, jnp.asarray(self._guess, jnp.float32))
+        guess_j = jnp.asarray(self._guess, jnp.float32)
+        result = self._align(self._key_map, cloud, guess_j)
         tf_s2k = np.asarray(result.transform, np.float64)
         if self.stats.scan_count == 1:
             # the reference aligns scan 1 twice (:223-227)
             result = self._align(self._key_map, cloud, jnp.asarray(tf_s2k, jnp.float32))
             tf_s2k = np.asarray(result.transform, np.float64)
+        # deviation-triggered wide-basin retry (NDTConfig.retry_*)
+        if (
+            self._align_retry is not None
+            and np.linalg.norm(tf_s2k[:3, 3] - self._guess[:3, 3])
+            > self.cfg.ndt.retry_deviation_thresh
+        ):
+            retry = self._align_retry(self._key_map, cloud, guess_j)
+            s_retry = float(self._score(self._key_map, cloud, retry.transform))
+            if s_retry > float(result.score):
+                result = retry
+                tf_s2k = np.asarray(retry.transform, np.float64)
+                self.stats.retries += 1
         self.stats.total_align_time += time.perf_counter() - t0
         self.stats.total_iterations += int(result.iterations)
 

@@ -78,6 +78,29 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
         neighborhood=ndt.neighborhood,
         weighted=ndt.weighted,
     )
+    align_retry = functools.partial(
+        ndt_align,
+        resolution=ndt.resolution,
+        outlier_ratio=ndt.outlier_ratio,
+        step_size=ndt.step_size,
+        transformation_epsilon=ndt.transformation_epsilon,
+        max_iterations=ndt.max_iterations,
+        neighborhood=ndt.retry_neighborhood,
+        weighted=ndt.weighted,
+    )
+    from lv_slam_tpu.ops.ndt import make_gauss_params
+    from lv_slam_tpu.ops.ndt_soa import ndt_derivatives_soa, to_soa
+    from lv_slam_tpu.ops.voxel_map import neighborhood_offsets
+
+    _gauss = make_gauss_params(ndt.resolution, ndt.outlier_ratio)
+    _offs = neighborhood_offsets(ndt.neighborhood)
+
+    def score_at(key_map, cloud, transform):
+        s, _, _ = ndt_derivatives_soa(
+            to_soa(key_map), cloud.masked_xyz().T, cloud.mask, transform,
+            _gauss, _offs, ndt.weighted,
+        )
+        return s
 
     def init_state(cloud: PointCloud, stamp) -> FusedState:
         filtered = _prefilter(cloud, prefilter_cfg) if prefilter_cfg else cloud
@@ -103,6 +126,18 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
             lambda: align(state.key_map, filtered, result.transform).transform,
             lambda: result.transform,
         )
+        if ndt.retry_deviation_thresh > 0:
+            # deviation-triggered wide-basin retry (NDTConfig.retry_*)
+            dev = jnp.linalg.norm(tf_s2k[:3, 3] - state.guess[:3, 3])
+
+            def retry():
+                r = align_retry(state.key_map, filtered, state.guess)
+                s_retry = score_at(state.key_map, filtered, r.transform)
+                return jnp.where(s_retry > result.score, r.transform, tf_s2k)
+
+            tf_s2k = jax.lax.cond(
+                dev > ndt.retry_deviation_thresh, retry, lambda: tf_s2k
+            )
         # float32 feedback loops amplify orthonormality defect ~3x/scan;
         # re-project onto SE(3) before composing the warm start
         tf_s2k = se3.orthonormalize(tf_s2k)

@@ -46,6 +46,24 @@ def build_map_fn(resolution: float, leaf_cap: int, lut_extent: int,
 
 
 @functools.lru_cache(maxsize=32)
+def ndt_score_fn(resolution: float, neighborhood: str = "DIRECT1", weighted: bool = True):
+    """Weighted NDT score of a cloud at a fixed transform (for retry arbitration)."""
+    from lv_slam_tpu.ops.ndt import make_gauss_params, ndt_derivatives
+    from lv_slam_tpu.ops.voxel_map import neighborhood_offsets
+
+    gauss = make_gauss_params(resolution)
+    offsets = neighborhood_offsets(neighborhood)
+
+    def score(vmap_, cloud, transform):
+        s, _, _ = ndt_derivatives(
+            vmap_, cloud.masked_xyz(), cloud.mask, transform, gauss, offsets, weighted
+        )
+        return s
+
+    return jax.jit(score)
+
+
+@functools.lru_cache(maxsize=32)
 def ndt_align_fn(resolution: float, outlier_ratio: float = 0.55,
                  step_size: float = 0.1, transformation_epsilon: float = 0.01,
                  max_iterations: int = 35, neighborhood: str = "DIRECT7",
