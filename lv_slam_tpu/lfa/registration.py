@@ -66,7 +66,9 @@ def lines_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) -> 
     mu = jnp.sum(pts * w[..., None], axis=1) / cnt[:, None]
     centered = (pts - mu[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[:, None, None]
-    evals, evecs = jnp.linalg.eigh(cov)
+    from lv_slam_tpu.ops.linalg3 import eigh3x3
+
+    evals, evecs = eigh3x3(cov)
     v = evecs[:, :, 2]
     ok = (
         mask

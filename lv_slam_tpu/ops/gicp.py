@@ -37,7 +37,9 @@ def _plane_covariances(xyz: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 
     mu = jnp.sum(pts * w[..., None], 1) / cnt[:, None]
     c = (pts - mu[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[:, None, None]
-    evals, evecs = jnp.linalg.eigh(cov + 1e-9 * jnp.eye(3))
+    from lv_slam_tpu.ops.linalg3 import eigh3x3
+
+    evals, evecs = eigh3x3(cov + 1e-9 * jnp.eye(3))
     gicp_evals = jnp.array([1e-3, 1.0, 1.0], jnp.float32)  # gicp_epsilon
     reg = jnp.einsum("nij,j,nkj->nik", evecs, gicp_evals, evecs)
     ok = mask & (jnp.sum(w, 1) >= 3)
@@ -75,7 +77,9 @@ def gicp_align(
         mun = jnp.sum(nn_nbrs * wn[..., None], 1) / cntn[:, None]
         cn = (nn_nbrs - mun[:, None, :]) * wn[..., None]
         covn = jnp.einsum("nki,nkj->nij", cn, cn) / cntn[:, None, None]
-        evals, evecs = jnp.linalg.eigh(covn + 1e-9 * jnp.eye(3))
+        from lv_slam_tpu.ops.linalg3 import eigh3x3 as _eigh3
+
+        evals, evecs = _eigh3(covn + 1e-9 * jnp.eye(3))
         gicp_evals = jnp.array([1e-3, 1.0, 1.0], jnp.float32)
         cov_b = jnp.einsum("nij,j,nkj->nik", evecs, gicp_evals, evecs)
 

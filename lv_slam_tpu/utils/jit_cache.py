@@ -13,7 +13,7 @@ import functools
 
 import jax
 
-from lv_slam_tpu.ops.ndt import ndt_align
+from lv_slam_tpu.ops.ndt_soa import ndt_align_soa as ndt_align  # fast path
 from lv_slam_tpu.ops.prefilter import voxel_downsample
 from lv_slam_tpu.ops.voxel_map import build_voxel_map
 
