@@ -66,6 +66,12 @@ class NDTConfig:
     # negligible amortized cost. 0 disables.
     retry_deviation_thresh: float = 0.15
     retry_neighborhood: str = "DIRECT7"
+    # >1 runs the Newton approach phase on every k-th point before a
+    # full-resolution polish (gather cost scales with point count; the final
+    # optimum is full-resolution). Measured on TPU: 2 is both faster AND
+    # slightly more accurate than single-phase (the polish starts inside the
+    # basin); 4 trades a hair of accuracy for ~1.3x more speed.
+    coarse_subsample: int = 2
     min_points_per_voxel: int = 6
     min_covar_eigvalue_mult: float = 0.01  # eigenvalue inflation, eq 6.11
     # --- capacities ---

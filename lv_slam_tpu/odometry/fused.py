@@ -77,6 +77,7 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
         max_iterations=ndt.max_iterations,
         neighborhood=ndt.neighborhood,
         weighted=ndt.weighted,
+        coarse_subsample=ndt.coarse_subsample,
     )
     align_retry = functools.partial(
         ndt_align,

@@ -152,32 +152,8 @@ def ndt_derivatives_soa(
     return score, grad, hess
 
 
-def ndt_align_soa(
-    vmap_: VoxelMap,
-    source: PointCloud,
-    guess: jax.Array,
-    *,
-    resolution: float,
-    outlier_ratio: float = 0.55,
-    step_size: float = 0.1,
-    transformation_epsilon: float = 0.01,
-    max_iterations: int = 35,
-    neighborhood: str = "DIRECT1",
-    weighted: bool = False,
-) -> NDTResult:
-    """Drop-in `ndt_align` with the packed-gather derivative pass."""
-    gauss = make_gauss_params(resolution, outlier_ratio)
-    offsets = neighborhood_offsets(neighborhood)
-    soa = to_soa(vmap_)
-    xs = source.masked_xyz().T  # (3,N)
-    mask = source.mask
-    eps = jnp.float32(transformation_epsilon)
+def _newton_loop(derivs, guess, eps, step_max, max_iterations):
     step_min = eps / 2.0
-    step_max = jnp.float32(step_size)
-
-    def derivs(transform):
-        return ndt_derivatives_soa(soa, xs, mask, transform, gauss, offsets, weighted)
-
     score0, grad0, hess0 = derivs(guess)
 
     def cond(state):
@@ -207,12 +183,64 @@ def ndt_align_soa(
         return transform, score, grad, hess, cap, it, converged
 
     init = (guess, score0, grad0, hess0, step_max, jnp.int32(0), jnp.bool_(False))
-    transform, score, grad, hess, _, it, converged = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def ndt_align_soa(
+    vmap_: VoxelMap,
+    source: PointCloud,
+    guess: jax.Array,
+    *,
+    resolution: float,
+    outlier_ratio: float = 0.55,
+    step_size: float = 0.1,
+    transformation_epsilon: float = 0.01,
+    max_iterations: int = 35,
+    neighborhood: str = "DIRECT1",
+    weighted: bool = False,
+    coarse_subsample: int = 1,
+) -> NDTResult:
+    """Drop-in `ndt_align` with the packed-gather derivative pass.
+
+    `coarse_subsample > 1` enables a two-phase solve: Newton runs first on
+    every k-th point (gather cost scales with point count) with a 2x-looser
+    epsilon, then polishes on the full set. The final optimum is set by the
+    full-resolution phase; only the approach path is subsampled.
+    """
+    gauss = make_gauss_params(resolution, outlier_ratio)
+    offsets = neighborhood_offsets(neighborhood)
+    soa = to_soa(vmap_)
+    xs = source.masked_xyz().T  # (3,N)
+    mask = source.mask
+    eps = jnp.float32(transformation_epsilon)
+    step_max = jnp.float32(step_size)
+
+    def derivs(transform):
+        return ndt_derivatives_soa(soa, xs, mask, transform, gauss, offsets, weighted)
+
+    start = guess
+    coarse_iters = jnp.int32(0)
+    if coarse_subsample > 1:
+        n = mask.shape[0]
+        stride_mask = mask & (jnp.arange(n) % coarse_subsample == 0)
+        xs_c = xs[:, ::coarse_subsample]
+        mask_c = stride_mask[::coarse_subsample]
+
+        def derivs_coarse(transform):
+            return ndt_derivatives_soa(soa, xs_c, mask_c, transform, gauss, offsets, weighted)
+
+        start, _, _, _, _, coarse_iters, _ = _newton_loop(
+            derivs_coarse, guess, eps * 2.0, step_max, max_iterations
+        )
+
+    transform, score, grad, hess, _, it, converged = _newton_loop(
+        derivs, start, eps, step_max, max_iterations
+    )
     n_pts = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return NDTResult(
         transform=transform,
         score=score,
-        iterations=it,
+        iterations=it + coarse_iters,
         converged=converged,
         hessian=hess,
         trans_probability=score / n_pts,

@@ -397,7 +397,11 @@ class GlobalGraph:
             span = max(seq1 - seq0, 1)
             from lv_slam_tpu.core import se3 as se3m
 
-            resid_log = np.asarray(se3m.log_se3(jnp.asarray(resid, jnp.float32)), np.float64)
+            resid_log = np.asarray(
+                se3m.log_se3(se3m.orthonormalize(jnp.asarray(resid, jnp.float32))),
+                np.float64,
+            )
+            resid_log = np.nan_to_num(resid_log)
             for j in range(seq0, seq1):
                 if j not in self.odoms:
                     continue
