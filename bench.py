@@ -65,9 +65,11 @@ def main():
                 GraphConfig(keyframe_cap=64, edge_cap=256, solver_num_iterations=64),
                 LoopDetectorConfig(),
             )
+            # the reference's optimization cadence is a 10 s wall timer
+            # (graph_update_interval) = every ~100 scans at the 10 Hz rate
             for i in range(n_scans):
                 backend.add_scan(i, i * 0.1, poses_np[i], clouds[i])
-                if i % 10 == 9:
+                if i % 100 == 99:
                     backend.optimize()
             backend.finish()
             while backend.keyframe_queue:
