@@ -420,3 +420,57 @@ class GlobalGraph:
 
 def _huber_size(kind: str, size: float) -> float:
     return size if (kind or "NONE").upper() == "HUBER" else 0.0
+
+
+def load_dump(
+    directory: str,
+    cfg: Optional[GraphConfig] = None,
+    loop_cfg: Optional[LoopDetectorConfig] = None,
+    keyframe_cloud_cap: int = 131072,
+) -> GlobalGraph:
+    """Rebuild a GlobalGraph from a dump directory (the reference's unused
+    `KeyFrame::load` + `GraphSLAM::load` authoring path, `keyframe.cpp:94-201`):
+    graph.g2o (+ kernels) and the per-keyframe `%06d/` dirs, re-binding
+    keyframes to graph nodes by id — ready for offline re-optimization."""
+    backend = GlobalGraph(cfg, loop_cfg, keyframe_cloud_cap=keyframe_cloud_cap)
+    g = backend.cfg
+    backend.graph = g2o_io.load_graph(
+        os.path.join(directory, "graph.g2o"), g.keyframe_cap, g.edge_cap
+    )
+    backend._n_edges = int(np.asarray(backend.graph.e_valid).sum())
+
+    i = 0
+    while True:
+        kf_dir = os.path.join(directory, f"{i:06d}")
+        if not os.path.isdir(kf_dir):
+            break
+        meta = {}
+        with open(os.path.join(kf_dir, "data")) as f:
+            lines = [l.rstrip("\n") for l in f]
+        j = 0
+        while j < len(lines):
+            parts = lines[j].split()
+            if parts[0] in ("odom", "estimate"):
+                rows = [list(map(float, lines[j + k + 1].split())) for k in range(4)]
+                meta[parts[0]] = np.asarray(rows)
+                j += 5
+            else:
+                meta[parts[0]] = parts[1] if len(parts) > 1 else None
+                j += 1
+        points = pcd.read_pcd(os.path.join(kf_dir, "cloud.pcd"))
+        kf = KeyFrame(
+            stamp=float(meta.get("stamp", 0.0)),
+            seq=int(meta.get("seq", i)),
+            odom=meta.get("odom", np.eye(4)),
+            accum_distance=float(meta.get("accum_distance", 0.0)),
+            cloud=PointCloud.from_numpy(points, cap=keyframe_cloud_cap),
+            node_id=int(meta.get("id", i)),
+            estimate=meta.get("estimate"),
+        )
+        backend.keyframes.append(kf)
+        i += 1
+
+    utm_path = os.path.join(directory, "zero_utm")
+    if os.path.exists(utm_path):
+        backend.zero_utm = np.loadtxt(utm_path)
+    return backend

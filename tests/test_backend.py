@@ -122,7 +122,7 @@ def test_backend_dump_and_save_map(circle_run, tmp_path):
 
 def test_g2o_checkpoint_resume(circle_run, tmp_path):
     """dump -> load -> re-optimize (the reference's offline re-optimization
-    authoring flow, `graph_slam.cpp:333-363`)."""
+    authoring flow, `graph_slam.cpp:333-363`, `keyframe.cpp:94-201`)."""
     scans, gt, odoms, images = circle_run
     backend = _build_backend()
     for i, scan in enumerate(scans[:20]):
@@ -134,7 +134,22 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
     backend.dump(d)
 
     from lv_slam_tpu.graph import g2o_io, pose_graph as pg
+    from lv_slam_tpu.pipeline.backend import load_dump
 
     loaded = g2o_io.load_graph(os.path.join(d, "graph.g2o"), node_cap=64, edge_cap=256)
     result = pg.optimize_pose_graph(loaded, 16)
     assert np.isfinite(float(result.chi2_after))
+
+    # full resume: keyframes with clouds re-bound to graph nodes
+    from lv_slam_tpu.config import GraphConfig
+
+    resumed = load_dump(d, GraphConfig(keyframe_cap=64, edge_cap=256), keyframe_cloud_cap=65536)
+    assert len(resumed.keyframes) == len(backend.keyframes)
+    for a, b in zip(resumed.keyframes, backend.keyframes):
+        assert a.node_id == b.node_id and a.seq == b.seq
+        np.testing.assert_allclose(a.odom, b.odom, atol=1e-5)
+        assert int(a.cloud.count()) == int(b.cloud.count())
+    # re-optimization on the resumed graph works and map export still runs
+    r2 = pg.optimize_pose_graph(resumed.graph, 16)
+    assert np.isfinite(float(r2.chi2_after))
+    assert resumed.save_map(str(tmp_path / "resumed_map.pcd"), resolution=0.3)
