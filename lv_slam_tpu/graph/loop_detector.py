@@ -49,6 +49,45 @@ class Loop:
     visual_score: float
 
 
+@functools.lru_cache(maxsize=16)
+def _batched_align_fn(resolution: float, neighborhood: str):
+    from lv_slam_tpu.core.cloud import PointCloud as PC
+    from lv_slam_tpu.ops.ndt_soa import ndt_align_soa
+
+    def run(target_map, xyz, inten, mask, guesses):
+        def one(x, it, m, g):
+            return ndt_align_soa(
+                target_map, PC(x, it, m), g,
+                resolution=resolution, transformation_epsilon=0.01,
+                max_iterations=64, neighborhood=neighborhood, weighted=False,
+            ).transform
+
+        return jax.vmap(one)(xyz, inten, mask, guesses)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=1)
+def _batched_fitness_fn():
+    from lv_slam_tpu.core.cloud import PointCloud as PC
+    from lv_slam_tpu.ops.nn import build_centroid_grid, nn_sq_dists
+
+    def run(target, xyz, inten, mask, transforms):
+        grid = build_centroid_grid(target, 0.25)
+
+        def one(x, it, m, t):
+            moved = PC(x, it, m).transformed(t)
+            d2 = nn_sq_dists(grid, moved.masked_xyz(), moved.mask)
+            ok = jnp.isfinite(d2)
+            n = jnp.sum(ok.astype(jnp.float32))
+            total = jnp.sum(jnp.where(ok, d2, 0.0))
+            return jnp.where(n > 0, total / jnp.maximum(n, 1.0), jnp.inf)
+
+        return jax.vmap(one)(xyz, inten, mask, transforms)
+
+    return jax.jit(run)
+
+
 class LoopDetector:
     def __init__(self, cfg: Optional[LoopDetectorConfig] = None, vocabulary=None,
                  leaf_cap: int = 16384, lut_extent: int = 256):
@@ -115,35 +154,63 @@ class LoopDetector:
 
     # -- verification --------------------------------------------------------
     def verify(self, candidates: List[KeyFrame], scores, new_kf: KeyFrame) -> Optional[Loop]:
+        """Batched verification: all candidates share the new keyframe's maps,
+        so each resolution of the coarse-to-fine ladder (and the final fitness
+        pass) runs as ONE vmapped device call over the padded candidate batch
+        (the reference verifies serially with early exit; we verify all)."""
         if not candidates:
             return None
         c = self.cfg
+        k_cap = c.candidates_cap
+        candidates = candidates[:k_cap]
+        scores = scores[:k_cap]
+        k = len(candidates)
         target_maps = {r: self._builds[r](new_kf.cloud) for r in self._resolutions}
-        best = None
-        for cand, vscore in zip(candidates, scores):
-            est_new = new_kf.estimate if new_kf.estimate is not None else new_kf.odom
+
+        est_new = new_kf.estimate if new_kf.estimate is not None else new_kf.odom
+        guesses = []
+        for cand in candidates:
             est_cand = cand.estimate if cand.estimate is not None else cand.odom
-            guess = np.linalg.inv(est_new) @ est_cand
-            guess[2, 3] = 0.0  # z forced flat (loop_detector.hpp:251)
-            transform = jnp.asarray(guess, jnp.float32)
-            for r in self._resolutions:
-                result = self._aligns[r](target_maps[r], cand.cloud, transform)
-                transform = result.transform
-            rel = np.asarray(transform, np.float64)
-            # guess-consistency gate (see LoopDetectorConfig.max_guess_correction_*)
+            g = np.linalg.inv(est_new) @ est_cand
+            g[2, 3] = 0.0  # z forced flat (loop_detector.hpp:251)
+            guesses.append(g.astype(np.float32))
+        # pad the batch to the static cap with repeats (masked out below)
+        while len(guesses) < k_cap:
+            guesses.append(guesses[0])
+        cand_pad = candidates + [candidates[0]] * (k_cap - k)
+        xyz = jnp.stack([cd.cloud.xyz for cd in cand_pad])
+        inten = jnp.stack([cd.cloud.intensity for cd in cand_pad])
+        mask = jnp.stack([cd.cloud.mask for cd in cand_pad])
+        transforms = jnp.asarray(np.stack(guesses))
+        for r in self._resolutions:
+            transforms = self._batch_align(r)(target_maps[r], xyz, inten, mask, transforms)
+        fits = self._batch_fitness(new_kf.cloud, xyz, inten, mask, transforms)
+        rels = np.asarray(transforms, np.float64)
+        fits = np.asarray(fits)
+
+        best = None
+        for idx in range(k):
+            rel, fit, guess = rels[idx], float(fits[idx]), guesses[idx].astype(np.float64)
+            # guess-consistency gate (LoopDetectorConfig.max_guess_correction_*)
             corr = np.linalg.inv(guess) @ rel
             corr_t = np.linalg.norm(corr[:3, 3])
             corr_r = np.arccos(np.clip((np.trace(corr[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
             if corr_t > c.max_guess_correction_trans or corr_r > c.max_guess_correction_rot:
                 continue
-            fit = float(
-                fitness_score(new_kf.cloud, cand.cloud, jnp.asarray(rel, jnp.float32))
-            )
             if fit <= c.fitness_score_thresh and (best is None or fit < best.fitness):
-                best = Loop(key1=new_kf, key2=cand, relative_pose=rel, fitness=fit, visual_score=vscore)
+                best = Loop(
+                    key1=new_kf, key2=candidates[idx], relative_pose=rel,
+                    fitness=fit, visual_score=scores[idx],
+                )
         if best is not None:
             self.last_edge_accum_distance = new_kf.accum_distance
         return best
+
+    def _batch_align(self, resolution: float):
+        return _batched_align_fn(resolution, self.cfg.ndt_neighborhood)
+
+    def _batch_fitness(self, target_cloud, xyz, inten, mask, transforms):
+        return _batched_fitness_fn()(target_cloud, xyz, inten, mask, transforms)
 
     def detect(self, keyframes: Sequence[KeyFrame], new_keyframes: Sequence[KeyFrame]) -> List[Loop]:
         loops = []
