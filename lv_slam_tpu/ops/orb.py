@@ -196,16 +196,46 @@ def match_score(desc_a: np.ndarray, desc_b: np.ndarray, max_dist: float = 64.0) 
     return float(n_good / min(a.shape[0], b.shape[0]))
 
 
-class OrbExtractor:
-    """Host-friendly wrapper producing packed uint8 descriptors."""
+@jax.jit
+def _halve(img: jax.Array) -> jax.Array:
+    """2x2 average-pool downsample (the ORB pyramid's level step)."""
+    h, w = img.shape
+    h2, w2 = (h // 2) * 2, (w // 2) * 2
+    x = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+    return x.mean(axis=(1, 3))
 
-    def __init__(self, max_features: int = 512, threshold: float = 20.0):
+
+class OrbExtractor:
+    """Host-friendly wrapper producing packed uint8 descriptors.
+
+    `n_levels > 1` runs a scale pyramid (2x average-pool per level, like
+    OpenCV ORB's image pyramid at scaleFactor 2): features from all levels
+    are merged, keypoint coordinates mapped back to level 0, and the feature
+    budget split across levels proportional to area.
+    """
+
+    def __init__(self, max_features: int = 512, threshold: float = 20.0, n_levels: int = 3):
         self.max_features = max_features
         self.threshold = threshold
+        self.n_levels = n_levels
 
     def detect_and_compute(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """image (H,W) [0,255] -> (descriptors (K,32) uint8, keypoints (K,2))."""
         img = jnp.asarray(np.asarray(image, np.float32))
-        kpts, desc, scores, valid = detect_and_compute(img, self.max_features, self.threshold)
-        v = np.asarray(valid)
-        return pack_descriptors(np.asarray(desc)[v]), np.asarray(kpts)[v]
+        descs, kpts_all = [], []
+        for level in range(self.n_levels):
+            if min(img.shape) < 2 * (_PATCH_R + 1):
+                break
+            k_level = max(16, int(self.max_features * (0.75**level) / sum(0.75**l for l in range(self.n_levels))))
+            kpts, desc, scores, valid = detect_and_compute(img, k_level, self.threshold)
+            v = np.asarray(valid)
+            if v.any():
+                descs.append(pack_descriptors(np.asarray(desc)[v]))
+                kpts_all.append(np.asarray(kpts)[v] * (2**level))
+            img = _halve(img)
+        if not descs:
+            return np.zeros((0, 32), np.uint8), np.zeros((0, 2), np.int32)
+        return (
+            np.concatenate(descs)[: self.max_features],
+            np.concatenate(kpts_all)[: self.max_features],
+        )
