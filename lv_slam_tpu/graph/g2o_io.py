@@ -13,7 +13,7 @@ lines so reloads rebuild the same factor set.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

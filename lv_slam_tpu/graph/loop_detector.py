@@ -35,9 +35,6 @@ import numpy as np
 
 from lv_slam_tpu.config import LoopDetectorConfig
 from lv_slam_tpu.graph.keyframe import KeyFrame
-from lv_slam_tpu.ops.ndt import ndt_align
-from lv_slam_tpu.ops.nn import fitness_score
-from lv_slam_tpu.ops.voxel_map import build_voxel_map
 
 
 @dataclasses.dataclass

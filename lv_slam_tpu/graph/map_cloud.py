@@ -10,14 +10,13 @@ map build — a strictly better representative with identical density).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lv_slam_tpu.core import se3
-from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
+from lv_slam_tpu.core.cloud import PointCloud
 from lv_slam_tpu.ops.prefilter import voxel_downsample
 
 

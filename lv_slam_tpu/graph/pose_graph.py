@@ -26,7 +26,7 @@ equations (their diagonal gets identity so the dense solve stays regular).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ Jacobians from forward-mode autodiff of the left-perturbed residual, and the
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

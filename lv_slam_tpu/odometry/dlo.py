@@ -31,11 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lv_slam_tpu.config import OdometryConfig, PrefilterConfig
-from lv_slam_tpu.core import se3
 from lv_slam_tpu.core.cloud import PointCloud
-from lv_slam_tpu.ops.ndt import ndt_align
 from lv_slam_tpu.ops.prefilter import prefilter
-from lv_slam_tpu.ops.voxel_map import build_voxel_map
 
 
 @functools.lru_cache(maxsize=16)

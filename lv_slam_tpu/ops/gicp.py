@@ -12,7 +12,6 @@ k-NN — everything batched, no pointer chasing.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

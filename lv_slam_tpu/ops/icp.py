@@ -10,7 +10,6 @@ over a fixed iteration budget.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -13,7 +13,6 @@ in tests. Used by the fused odometry step and anywhere throughput matters.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

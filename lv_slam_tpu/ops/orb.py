@@ -21,7 +21,7 @@ and scores keyframe similarity through a DBoW3 vocabulary
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,11 +11,9 @@ the reference's (`ndt_resolution`, `ndt_nn_search_method`;
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from lv_slam_tpu.core.cloud import PointCloud
 from lv_slam_tpu.ops.gicp import gicp_align

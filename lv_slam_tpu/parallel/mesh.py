@@ -19,7 +19,6 @@ across the row's chips.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

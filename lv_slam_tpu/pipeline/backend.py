@@ -24,7 +24,6 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,7 +35,6 @@ from lv_slam_tpu.graph.keyframe import KeyFrame, KeyframeUpdater
 from lv_slam_tpu.graph.loop_detector import Loop, LoopDetector
 from lv_slam_tpu.graph.map_cloud import generate_map_cloud
 from lv_slam_tpu.io import kitti, pcd
-from lv_slam_tpu.ops.prefilter import voxel_downsample
 
 
 class GlobalGraph:

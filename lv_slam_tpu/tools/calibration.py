@@ -16,7 +16,7 @@ Autodiff Jacobians; numpy/JAX hybrid (these are offline tools, not hot path).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
