@@ -74,6 +74,13 @@ class NDTConfig:
     coarse_subsample: int = 2
     min_points_per_voxel: int = 6
     min_covar_eigvalue_mult: float = 0.01  # eigenvalue inflation, eq 6.11
+    # leaf lookup structure for the derivative pass: "lut" = dense voxel->leaf
+    # LUT + packed row (2 serial gathers/offset); "hash" = open-addressed
+    # bucket-pair table with embedded keys (1 gather/offset; ~0.2% of leaves
+    # may drop on bucket overflow). The gather chain is the measured
+    # per-iteration floor on v5e, so "hash" halves the hot-pass latency.
+    table: str = "hash"
+    hash_buckets_per_leaf: int = 4
     # --- capacities ---
     leaf_cap: int = 32768  # max occupied voxels per map
     # dense LUT extent in cells per axis (origin at the data min corner); the
@@ -103,6 +110,11 @@ class LfaConfig:
     mapping_line_resolution: float = 0.4
     mapping_plane_resolution: float = 0.8
     mapping_skip_frame: int = 1
+    # vertical field of view of the scanner (ring index recovery): HDL-64
+    # spans +2..-24.8 deg; 16-line sensors (VLP-16 in the kylin/grodog rigs)
+    # span +-15 deg
+    min_elev_deg: float = -24.8
+    max_elev_deg: float = 2.0
     # feature picks per ring sector (A-LOAM uses 2 sharp + 4 less-sharp per
     # sector, 6 sectors; 4 flat + downsampled less-flat)
     n_sectors: int = 6
@@ -145,6 +157,12 @@ class LoopDetectorConfig:
     max_guess_correction_rot: float = 0.5
     candidates_cap: int = 8  # top-k BoW candidates verified per new keyframe
     descriptor_cap: int = 512  # ORB descriptors kept per keyframe
+    # BoW by default: when no pretrained vocabulary is supplied, train one on
+    # the mapped sequence's own keyframes once this many carry descriptors
+    # (the reference loads a pretrained DBoW3 asset, `loop_detector.hpp:51-71`)
+    auto_train_vocab: bool = True
+    vocab_min_keyframes: int = 10
+    vocab_words: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,6 +191,11 @@ class GraphConfig:
     odometry_edge_robust_kernel_size: float = 1.0
     loop_closure_edge_robust_kernel: str = "Huber"
     loop_closure_edge_robust_kernel_size: float = 1.0
+    floor_edge_robust_kernel: str = "NONE"
+    floor_edge_robust_kernel_size: float = 1.0
+    # anchor the first keyframe to the origin through a fixed helper node
+    # (`global_graph_nodelet.cpp:279-287`, param fix_first_node, default off)
+    fix_first_node: bool = False
     # GPS / IMU / floor priors (disabled in the KITTI flagship run)
     enable_gps: bool = False
     enable_imu_acceleration: bool = False
@@ -205,3 +228,64 @@ class PipelineConfig:
 def kitti_flagship_config() -> PipelineConfig:
     """The `dlo_lfa_ggo_kitti.launch` configuration."""
     return PipelineConfig()
+
+
+def _sixteen_ring_lfa(**overrides) -> LfaConfig:
+    base = dict(
+        scan_line=16, minimum_range=0.3,
+        mapping_line_resolution=0.2, mapping_plane_resolution=0.4,
+        min_elev_deg=-15.0, max_elev_deg=15.0,
+    )
+    base.update(overrides)
+    return LfaConfig(**base)
+
+
+def kylin_config() -> PipelineConfig:
+    """`dlo_lfa_ggo_kylin.launch`: 16-line lidar, indoor-scale gates
+    (keyframes 2 m, loop gates 5/25/15 m — launch :104-106)."""
+    return PipelineConfig(
+        odometry=OdometryConfig(keyframe_delta_trans=2.0),
+        lfa=_sixteen_ring_lfa(),
+        loop=LoopDetectorConfig(
+            distance_thresh=5.0, accum_distance_thresh=25.0, min_edge_interval=15.0
+        ),
+        graph=GraphConfig(keyframe_delta_trans=2.0),
+    )
+
+
+def ob_config() -> PipelineConfig:
+    """`dlo_lfa_ggo_ob.launch`: identical parameterization to kylin (only
+    ROS topic remaps differ)."""
+    return kylin_config()
+
+
+def grodog_config() -> PipelineConfig:
+    """`dlo_lfa_ggo_grodog.launch`: 16-line quadruped rig — 0.2 m near
+    clip, no voxel downsample, looser angle/time keyframe gates, tight loop
+    gates 5/10/7 m."""
+    return PipelineConfig(
+        prefilter=PrefilterConfig(distance_near_thresh=0.2, downsample_method="NONE"),
+        odometry=OdometryConfig(
+            keyframe_delta_trans=2.0, keyframe_delta_angle=0.34, keyframe_delta_time=2.0
+        ),
+        lfa=_sixteen_ring_lfa(),
+        loop=LoopDetectorConfig(
+            distance_thresh=5.0, accum_distance_thresh=10.0, min_edge_interval=7.0
+        ),
+        graph=GraphConfig(keyframe_delta_trans=2.0, keyframe_delta_angle=0.34),
+    )
+
+
+def panda_config() -> PipelineConfig:
+    """`dlo_lfa_panda.launch`: 64-line Pandar rig; dlo+lfa parameters match
+    the KITTI flagship (no ggo stage in its launch — loop defaults kept)."""
+    return PipelineConfig()
+
+
+DATASET_CONFIGS = {
+    "kitti": kitti_flagship_config,
+    "kylin": kylin_config,
+    "ob": ob_config,
+    "grodog": grodog_config,
+    "panda": panda_config,
+}

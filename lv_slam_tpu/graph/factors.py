@@ -84,6 +84,113 @@ def se3_plane_residual(t_i: jax.Array, meas_coeffs: jax.Array) -> jax.Array:
     return jnp.concatenate([n_local - sign * n_meas, (d_local - sign * meas_coeffs[3])[None]])
 
 
+# ---------------------------------------------------------------------------
+# plane vertices (g2o::VertexPlane) + plane factor residuals
+# ---------------------------------------------------------------------------
+#
+# Plane state is the (4,) coefficient vector [nx, ny, nz, d] of the plane
+# {x : n.x + d = 0} with |n| = 1 (the reference's floor node is
+# add_plane_node([0,0,1,0]), `global_graph_nodelet.cpp:601-604`). g2o's
+# Plane3D minimal parameterization is (azimuth, elevation, distance); its
+# azimuth/elevation chart is singular exactly at the floor normal +z, so we
+# use a smooth tangent basis at the current normal instead: the update and
+# the minimal difference agree with g2o's to first order up to an in-plane
+# rotation of the two angular components — which leaves chi2 unchanged for
+# the isotropic information matrices the reference uses everywhere
+# (`global_graph_nodelet.cpp:610`). Our basis is singular at n ~ +-x instead.
+
+
+def plane_normalize(p: jax.Array) -> jax.Array:
+    """Scale (4,) coeffs so the normal is unit length."""
+    return p / jnp.maximum(jnp.linalg.norm(p[:3]), 1e-9)
+
+
+def plane_tangent_basis(n: jax.Array):
+    """Two unit vectors spanning the tangent space of the unit normal n,
+    smooth everywhere except n ~ +-x (floor normals live near +z)."""
+    b1 = jnp.array([1.0, 0.0, 0.0], n.dtype) - n * n[0]
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-9)
+    b2 = jnp.cross(n, b1)
+    return b1, b2
+
+
+def plane_oplus(p: jax.Array, delta: jax.Array) -> jax.Array:
+    """3-dof tangent update of a plane (g2o Plane3D::oplus equivalent):
+    delta = (two normal-rotation components, distance increment)."""
+    p = plane_normalize(p)
+    n = p[:3]
+    b1, b2 = plane_tangent_basis(n)
+    n_new = n + delta[0] * b1 + delta[1] * b2
+    n_new = n_new / jnp.maximum(jnp.linalg.norm(n_new), 1e-9)
+    return jnp.concatenate([n_new, (p[3] + delta[2])[None]])
+
+
+def plane_ominus(p_a: jax.Array, p_b: jax.Array) -> jax.Array:
+    """(3,) minimal difference a (-) b (g2o Plane3D::ominus equivalent):
+    angular components of b's normal in a's tangent basis + distance delta."""
+    a = plane_normalize(p_a)
+    b = plane_normalize(p_b)
+    b1, b2 = plane_tangent_basis(a[:3])
+    return jnp.stack([jnp.dot(b[:3], b1), jnp.dot(b[:3], b2), a[3] - b[3]])
+
+
+def plane_transform(t_inv_of: jax.Array, p: jax.Array) -> jax.Array:
+    """Plane p expressed in the frame of pose T (i.e. T^-1 * plane): for
+    x_world = T x_local, n_local = R^T n and d_local = d + n . t."""
+    n = p[:3]
+    return jnp.concatenate(
+        [t_inv_of[:3, :3].T @ n, (p[3] + jnp.dot(n, t_inv_of[:3, 3]))[None]]
+    )
+
+
+def se3_plane_shared_residual(t_i: jax.Array, plane: jax.Array, meas: jax.Array) -> jax.Array:
+    """(3,) `g2o::EdgeSE3Plane` error (`include/g2o/edge_se3_plane.hpp:40-47`):
+    the shared plane vertex transformed into the keyframe's frame, ominus the
+    locally measured coefficients."""
+    local = plane_transform(t_i, plane)
+    return plane_ominus(local, meas)
+
+
+def plane_identity_residual(p1: jax.Array, p2: jax.Array, meas4: jax.Array) -> jax.Array:
+    """(4,) `EdgePlaneIdentity` (`include/g2o/edge_plane_identity.hpp:47-60`):
+    (p2 - p1) - meas with p2 sign-aligned to p1."""
+    a = plane_normalize(p1)
+    b = plane_normalize(p2)
+    b = b * jnp.where(jnp.dot(a, b) < 0, -1.0, 1.0)
+    return (b - a) - meas4
+
+
+def plane_parallel_residual(p1: jax.Array, p2: jax.Array, meas3: jax.Array) -> jax.Array:
+    """(3,) `EdgePlaneParallel` (`edge_plane_parallel.hpp:44-56`):
+    (n2 - n1) - meas with n2 sign-aligned to n1."""
+    n1 = plane_normalize(p1)[:3]
+    n2 = plane_normalize(p2)[:3]
+    n2 = n2 * jnp.where(jnp.dot(n1, n2) < 0, -1.0, 1.0)
+    return (n2 - n1) - meas3
+
+
+def plane_perpendicular_residual(p1: jax.Array, p2: jax.Array) -> jax.Array:
+    """(1,) `EdgePlanePerpendicular` (`edge_plane_parallel.hpp:105-114`):
+    the normals' dot product (the reference ignores its own measurement)."""
+    n1 = plane_normalize(p1)[:3]
+    n2 = plane_normalize(p2)[:3]
+    return jnp.dot(n1, n2)[None]
+
+
+def plane_prior_normal_residual(p: jax.Array, meas3: jax.Array) -> jax.Array:
+    """(3,) `EdgePlanePriorNormal` (`edge_plane_prior.hpp:40-49`):
+    n - meas with n sign-aligned to the measurement."""
+    n = plane_normalize(p)[:3]
+    n = n * jnp.where(jnp.dot(n, meas3) < 0, -1.0, 1.0)
+    return n - meas3
+
+
+def plane_prior_distance_residual(p: jax.Array, meas_d: jax.Array) -> jax.Array:
+    """(1,) `EdgePlanePriorDistance` (`edge_plane_prior.hpp:79-82`):
+    meas - distance."""
+    return (meas_d - plane_normalize(p)[3])[None]
+
+
 def huber_weight(chi: jax.Array, delta: jax.Array) -> jax.Array:
     """Huber IRLS weight on chi = sqrt(r^T Omega r): 1 inside, delta/chi outside
     (g2o RobustKernelHuber semantics; widths from the launch, e.g. 1.0)."""

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lv_slam_tpu.core import se3
-from lv_slam_tpu.ops.ndt import GaussParams, make_gauss_params, ndt_derivatives
+from lv_slam_tpu.ops.ndt import GaussParams, make_gauss_params
 from lv_slam_tpu.ops.voxel_map import VoxelMap, neighborhood_offsets
 
 
@@ -50,10 +50,12 @@ def ndt_derivatives_sharded(
     weighted: bool,
 ):
     """Point-sharded derivative pass: map replicated, points split on "point",
-    accumulators merged with psum over ICI. Shapes: src_xyz (N,3)."""
+    accumulators merged with psum over ICI. Shapes: src_xyz (N,3). Uses the
+    same packed-gather SoA kernel as the single-chip hot path."""
+    from lv_slam_tpu.ops.ndt_soa import ndt_derivatives_soa, to_soa
 
     def local(vm, xyz, mask, T):
-        s, g, h = ndt_derivatives(vm, xyz, mask, T, gauss, offsets, weighted)
+        s, g, h = ndt_derivatives_soa(to_soa(vm), xyz.T, mask, T, gauss, offsets, weighted)
         return (
             jax.lax.psum(s, "point"),
             jax.lax.psum(g, "point"),
@@ -83,6 +85,7 @@ def ndt_align_sharded(
     max_iterations: int = 35,
     neighborhood: str = "DIRECT7",
     weighted: bool = False,
+    coarse_subsample: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched + point-sharded NDT registration.
 
@@ -94,55 +97,54 @@ def ndt_align_sharded(
     sharded over "point" chips and the Newton loop runs replicated off psum'd
     accumulators (every chip computes the same 6x6 solve — cheaper than
     communicating it).
+
+    Algorithmically identical to the single-chip `ops/ndt_soa.ndt_align_soa`:
+    the same packed-gather SoA derivative pass, the same monotone-score
+    guarded `_newton_loop`, and the same optional coarse-subsample approach
+    phase (each shard strides its local points) — asserted by the
+    sharded-vs-SoA parity test in `tests/test_parallel.py`.
     """
+    from lv_slam_tpu.ops.ndt_soa import _newton_loop, ndt_derivatives_soa, to_soa
+
     gauss = make_gauss_params(resolution, outlier_ratio)
     offsets = neighborhood_offsets(neighborhood)
     eps = jnp.float32(transformation_epsilon)
-    step_min = eps / 2.0
     step_max = jnp.float32(step_size)
 
     def one_pair(vm, xyz, mask, guess):
+        soa = to_soa(vm)
+        xs = xyz.T  # (3, N_local)
+
         def derivs(T):
-            s, g, h = ndt_derivatives(vm, xyz, mask, T, gauss, offsets, weighted)
+            s, g, h = ndt_derivatives_soa(soa, xs, mask, T, gauss, offsets, weighted)
             return (
                 jax.lax.psum(s, "point"),
                 jax.lax.psum(g, "point"),
                 jax.lax.psum(h, "point"),
             )
 
-        score0, grad0, hess0 = derivs(guess)
+        start = guess
+        coarse_iters = jnp.int32(0)
+        if coarse_subsample > 1:
+            n = mask.shape[0]
+            stride_mask = mask & (jnp.arange(n) % coarse_subsample == 0)
+            xs_c = xs[:, ::coarse_subsample]
+            mask_c = stride_mask[::coarse_subsample]
 
-        def cond(state):
-            return ~state[-1]
+            def derivs_coarse(T):
+                s, g, h = ndt_derivatives_soa(soa, xs_c, mask_c, T, gauss, offsets, weighted)
+                return (
+                    jax.lax.psum(s, "point"),
+                    jax.lax.psum(g, "point"),
+                    jax.lax.psum(h, "point"),
+                )
 
-        def body(state):
-            T, score, grad, hess, it, _ = state
-            ridge = 1e-6 * jnp.trace(jnp.abs(hess)) / 6.0 + 1e-12
-            delta = jnp.linalg.solve(hess + ridge * jnp.eye(6, dtype=hess.dtype), -grad)
-            norm = jnp.linalg.norm(delta)
-            bad = (norm == 0.0) | ~jnp.isfinite(norm)
-            direction = delta / jnp.where(bad, 1.0, norm)
-            dphi0 = -jnp.dot(grad, direction)
-            direction = jnp.where(dphi0 > 0, -direction, direction)
-            alpha = jnp.clip(norm, step_min, step_max)
-            new_T = se3.exp_se3(alpha * direction) @ T
-            new_score, new_grad, new_hess = derivs(new_T)
-            keep = ~bad
-            T = jnp.where(keep, new_T, T)
-            score = jnp.where(keep, new_score, score)
-            grad = jnp.where(keep, new_grad, grad)
-            hess = jnp.where(keep, new_hess, hess)
-            it = it + 1
-            converged = bad | (it > max_iterations) | (alpha < eps)
-            return T, score, grad, hess, it, converged
+            start, _, _, _, _, coarse_iters, _ = _newton_loop(
+                derivs_coarse, guess, eps * 2.0, step_max, max_iterations
+            )
 
-        # derive the iteration/convergence inits from score0 so the carry is
-        # "varying" over the mesh batch axis (shard_map vma rule)
-        it0 = (score0 * 0.0).astype(jnp.int32)
-        conv0 = jnp.isnan(score0)
-        init = (guess, score0, grad0, hess0, it0, conv0)
-        T, score, _, _, it, _ = jax.lax.while_loop(cond, body, init)
-        return T, score, it
+        T, score, _, _, _, it, _ = _newton_loop(derivs, start, eps, step_max, max_iterations)
+        return T, score, it + coarse_iters
 
     def local(vms, xyzs, masks, gs):
         # local leading batch axis = B / n_batch; vmap the pair routine.
@@ -177,20 +179,23 @@ def optimize_pose_graph_sharded(
     axes = mesh.axis_names
 
     def local(g: pg.PoseGraph):
-        chi2_0, _, _ = pg._chi2_and_normal(g, g.poses, build=False)
+        from lv_slam_tpu.graph import factors
+
+        k = g.poses.shape[0]
+        chi2_0, _, _ = pg._chi2_and_normal(g, g.poses, g.planes, build=False)
         for ax in axes:
             chi2_0 = jax.lax.psum(chi2_0, ax)
 
-        def system(poses):
-            chi2, h, b = pg._chi2_and_normal(g, poses, build=True)
+        def system(poses, planes):
+            chi2, h, b = pg._chi2_and_normal(g, poses, planes, build=True)
             for ax in axes:
                 chi2 = jax.lax.psum(chi2, ax)
                 h = jax.lax.psum(h, ax)
                 b = jax.lax.psum(b, ax)
-            return chi2, *pg._apply_gauge(h, b, g.node_valid)
+            return chi2, *pg._apply_gauge(h, b, g)
 
-        def chi2_of(poses):
-            chi2, _, _ = pg._chi2_and_normal(g, poses, build=False)
+        def chi2_of(poses, planes):
+            chi2, _, _ = pg._chi2_and_normal(g, poses, planes, build=False)
             for ax in axes:
                 chi2 = jax.lax.psum(chi2, ax)
             return chi2
@@ -199,47 +204,57 @@ def optimize_pose_graph_sharded(
             return ~state[-1]
 
         def body(state):
-            poses, lam, chi2, it, _ = state
-            _, h, b = system(poses)
+            poses, planes, lam, chi2, it, _ = state
+            _, h, b = system(poses, planes)
             damped = h + lam * jnp.diag(jnp.maximum(jnp.diag(h), 1e-6))
             delta = jax.scipy.linalg.solve(damped, -b, assume_a="pos")
             ok = jnp.all(jnp.isfinite(delta))
             delta = jnp.where(ok, delta, 0.0)
-            step = delta.reshape(g.poses.shape[0], 6)
+            step = delta[: 6 * k].reshape(k, 6)
             new_poses = jax.vmap(lambda d, t: se3.exp_se3(d) @ t)(step, poses)
-            new_chi2 = chi2_of(new_poses)
+            step_pl = delta[6 * k :].reshape(g.planes.shape[0], 3)
+            new_planes = jax.vmap(factors.plane_oplus)(planes, step_pl)
+            new_chi2 = chi2_of(new_poses, new_planes)
             accept = ok & (new_chi2 <= chi2)
             poses = jnp.where(accept, new_poses, poses)
+            planes = jnp.where(accept, new_planes, planes)
             chi2_next = jnp.where(accept, new_chi2, chi2)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
             it = it + 1
             small = jnp.max(jnp.abs(delta)) < 1e-6
             rel_ok = accept & ((chi2 - chi2_next) < 1e-8 * (chi2 + 1e-12))
             converged = (it >= num_iterations) | small | rel_ok
-            return poses, lam, chi2_next, it, converged
+            return poses, planes, lam, chi2_next, it, converged
 
-        init = (g.poses, jnp.float32(1e-4), chi2_0, jnp.int32(0), jnp.bool_(False))
-        poses, _, chi2_after, it, _ = jax.lax.while_loop(cond, body, init)
+        init = (g.poses, g.planes, jnp.float32(1e-4), chi2_0, jnp.int32(0), jnp.bool_(False))
+        poses, planes, _, chi2_after, it, _ = jax.lax.while_loop(cond, body, init)
         anchor = g.poses[0] @ se3.inverse(poses[0])
         poses = jnp.einsum("ij,njk->nik", anchor, poses)
-        return poses, chi2_0, chi2_after, it
+        return poses, chi2_0, chi2_after, it, planes
 
     factor_spec = P(axes)  # shard factor arrays over all mesh axes jointly
     in_specs = graph._replace(
-        poses=P(), node_valid=P(),
+        poses=P(), node_valid=P(), node_fixed=P(),
+        planes=P(), plane_valid=P(), plane_fixed=P(),
         e_i=factor_spec, e_j=factor_spec, e_meas=factor_spec,
         e_info=factor_spec, e_huber=factor_spec, e_valid=factor_spec,
         p_node=factor_spec, p_type=factor_spec, p_meas=factor_spec,
         p_info=factor_spec, p_huber=factor_spec, p_valid=factor_spec,
+        sp_i=factor_spec, sp_plane=factor_spec, sp_meas=factor_spec,
+        sp_info=factor_spec, sp_huber=factor_spec, sp_valid=factor_spec,
+        q_i=factor_spec, q_j=factor_spec, q_type=factor_spec,
+        q_meas=factor_spec, q_info=factor_spec, q_huber=factor_spec,
+        q_valid=factor_spec,
     )
     fn = jax.shard_map(
-        local, mesh=mesh, in_specs=(in_specs,), out_specs=(P(), P(), P(), P())
+        local, mesh=mesh, in_specs=(in_specs,), out_specs=(P(), P(), P(), P(), P())
     )
-    poses, chi2_before, chi2_after, it = fn(graph)
+    poses, chi2_before, chi2_after, it, planes = fn(graph)
     from lv_slam_tpu.graph.pose_graph import OptimizeResult
 
     return OptimizeResult(
-        poses=poses, chi2_before=chi2_before, chi2_after=chi2_after, iterations=it
+        poses=poses, chi2_before=chi2_before, chi2_after=chi2_after,
+        iterations=it, planes=planes,
     )
 
 

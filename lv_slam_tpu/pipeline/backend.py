@@ -62,8 +62,15 @@ class GlobalGraph:
         self.odoms: Dict[int, np.ndarray] = {}
         self.trans_odom2map = np.eye(4)
         self.zero_utm: Optional[np.ndarray] = None
+        self._n_nodes = 0
         self._n_edges = 0
         self._n_priors = 0
+        self._n_planes = 0
+        self._n_sp_edges = 0
+        self._n_plane_edges = 0
+        self.floor_plane_node_id: Optional[int] = None
+        self.anchor_node_id: Optional[int] = None
+        self.anchor_edge_id: Optional[int] = None
         self._orb = None
 
         # window accumulation state: device clouds + window-relative transforms
@@ -75,10 +82,9 @@ class GlobalGraph:
         self._w_accum = 0.0
         self._w_sensors: dict = {}
 
-        from lv_slam_tpu.utils.jit_cache import downsample_fn, transform_cloud_fn
+        from lv_slam_tpu.utils.jit_cache import window_flush_fn
 
-        self._downsample = downsample_fn(0.1, self.keyframe_cloud_cap)
-        self._transform_cloud = transform_cloud_fn()
+        self._window_flush = window_flush_fn(0.1, self.keyframe_cloud_cap)
 
     # ------------------------------------------------------------------ scans
     def add_scan(
@@ -120,30 +126,27 @@ class GlobalGraph:
 
     def _flush_window(self) -> None:
         # motion-compose the window on device (global_graph_nodelet.cpp:237-244)
-        xyz_parts, int_parts, mask_parts = [], [], []
-        for cloud, rel in self._w_parts:
-            moved = self._transform_cloud(cloud, jnp.asarray(rel, jnp.float32))
-            xyz_parts.append(moved.xyz)
-            int_parts.append(moved.intensity)
-            mask_parts.append(moved.mask)
-        # pad the part count to a power of two so the downsample jit sees a
-        # bounded set of shapes (window length varies per keyframe interval)
-        cap = xyz_parts[0].shape[0]
+        # as ONE program over the stacked (W,cap,*) window — the part count is
+        # padded to a power of two so the jit sees a bounded set of shapes
+        w = len(self._w_parts)
         target = 1
-        while target < len(xyz_parts):
+        while target < w:
             target *= 2
-        from lv_slam_tpu.core.cloud import SENTINEL
-
-        while len(xyz_parts) < target:
-            xyz_parts.append(jnp.full((cap, 3), SENTINEL, jnp.float32))
-            int_parts.append(jnp.zeros((cap,), jnp.float32))
-            mask_parts.append(jnp.zeros((cap,), bool))
-        window = PointCloud(
-            jnp.concatenate(xyz_parts, axis=0),
-            jnp.concatenate(int_parts, axis=0),
-            jnp.concatenate(mask_parts, axis=0),
+        xyz = jnp.stack(
+            [c.xyz for c, _ in self._w_parts]
+            + [self._w_parts[0][0].xyz] * (target - w)
         )
-        downsampled = self._downsample(window)
+        inten = jnp.stack(
+            [c.intensity for c, _ in self._w_parts]
+            + [self._w_parts[0][0].intensity] * (target - w)
+        )
+        mask_rows = [c.mask for c, _ in self._w_parts]
+        mask_rows += [jnp.zeros_like(mask_rows[0])] * (target - w)
+        mask = jnp.stack(mask_rows)
+        rels = np.stack(
+            [rel for _, rel in self._w_parts] + [np.eye(4)] * (target - w)
+        ).astype(np.float32)
+        downsampled = self._window_flush(xyz, inten, mask, jnp.asarray(rels))
         descriptor = keypoints = None
         if self._w_image is not None:
             descriptor, keypoints = self._extract_orb(self._w_image)
@@ -208,6 +211,7 @@ class GlobalGraph:
         )
         poses = np.asarray(result.poses, np.float64)
         self.graph.poses[:] = poses.astype(np.float32)  # host arrays, in place
+        self.graph.planes[:] = np.asarray(result.planes, np.float32)
         for kf in self.keyframes:
             kf.estimate = poses[kf.node_id]
 
@@ -223,12 +227,26 @@ class GlobalGraph:
         n = min(len(self.keyframe_queue), cfg.max_keyframes_per_update)
         for i in range(n):
             kf = self.keyframe_queue[i]
-            kf.node_id = len(self.keyframes) + len(self.new_keyframes)
+            kf.node_id = self._n_nodes
+            self._n_nodes += 1
             self.new_keyframes.append(kf)
             pose0 = odom2map @ kf.odom
             self.graph = pg.add_node(self.graph, kf.node_id, pose0)
             kf.estimate = pose0
-            if kf.node_id == 0:
+            if not self.keyframes and len(self.new_keyframes) == 1:
+                # fix the first node through an anchor
+                # (`global_graph_nodelet.cpp:279-287`)
+                if cfg.fix_first_node:
+                    self.anchor_node_id = self._n_nodes
+                    self._n_nodes += 1
+                    self.graph = pg.add_node(self.graph, self.anchor_node_id, np.eye(4))
+                    self.graph = pg.set_node_fixed(self.graph, self.anchor_node_id)
+                    self.anchor_edge_id = self._n_edges
+                    self.graph = pg.add_se3_edge(
+                        self.graph, self._n_edges, self.anchor_node_id, kf.node_id,
+                        np.eye(4), np.eye(6),
+                    )
+                    self._n_edges += 1
                 continue
             prev = (
                 self.keyframes[-1]
@@ -300,12 +318,23 @@ class GlobalGraph:
         kf.acceleration = np.asarray(acc_local)
 
     def add_floor_prior(self, kf: KeyFrame, coeffs: np.ndarray) -> None:
+        """Floor constraint through the SHARED fixed z=0 plane vertex, like
+        the reference (`global_graph_nodelet.cpp:598-612`): every floored
+        keyframe gets an EdgeSE3Plane against the one floor node."""
         cfg = self.cfg
-        info = np.eye(4) / cfg.floor_edge_stddev
-        self.graph = pg.add_prior(
-            self.graph, self._n_priors, kf.node_id, pg.PRIOR_PLANE, coeffs, info, huber=1.0
+        if self.floor_plane_node_id is None:
+            self.floor_plane_node_id = self._n_planes
+            self.graph = pg.add_plane_node(
+                self.graph, self.floor_plane_node_id, [0.0, 0.0, 1.0, 0.0], fixed=True
+            )
+            self._n_planes += 1
+        info = np.eye(3) / cfg.floor_edge_stddev
+        self.graph = pg.add_se3_plane_edge(
+            self.graph, self._n_sp_edges, kf.node_id, self.floor_plane_node_id,
+            coeffs, info,
+            huber=_huber_size(cfg.floor_edge_robust_kernel, cfg.floor_edge_robust_kernel_size),
         )
-        self._n_priors += 1
+        self._n_sp_edges += 1
         kf.floor_coeffs = np.asarray(coeffs)
 
     # --------------------------------------------------------------- services
@@ -332,10 +361,18 @@ class GlobalGraph:
         if self.zero_utm is not None:
             with open(os.path.join(directory, "zero_utm"), "w") as f:
                 f.write(" ".join(f"{v:.9f}" for v in self.zero_utm) + "\n")
+        # real ids like the reference (`global_graph_nodelet.cpp:1018-1021`);
+        # plane vertices live in the g2o file at PLANE_ID_OFFSET + index
+        anchor_node = -1 if self.anchor_node_id is None else self.anchor_node_id
+        anchor_edge = -1 if self.anchor_edge_id is None else self.anchor_edge_id
+        floor_node = (
+            -1 if self.floor_plane_node_id is None
+            else g2o_io.PLANE_ID_OFFSET + self.floor_plane_node_id
+        )
         with open(os.path.join(directory, "special_nodes.csv"), "w") as f:
-            f.write("anchor_node -1\n")
-            f.write("anchor_edge -1\n")
-            f.write("floor_node -1\n")
+            f.write(f"anchor_node {anchor_node}\n")
+            f.write(f"anchor_edge {anchor_edge}\n")
+            f.write(f"floor_node {floor_node}\n")
         self.save_pose(directory)
         return True
 
@@ -436,6 +473,21 @@ def load_dump(
         os.path.join(directory, "graph.g2o"), g.keyframe_cap, g.edge_cap
     )
     backend._n_edges = int(np.asarray(backend.graph.e_valid).sum())
+    backend._n_nodes = int(np.asarray(backend.graph.node_valid).sum())
+    backend._n_priors = int(np.asarray(backend.graph.p_valid).sum())
+    backend._n_planes = int(np.asarray(backend.graph.plane_valid).sum())
+    backend._n_sp_edges = int(np.asarray(backend.graph.sp_valid).sum())
+    backend._n_plane_edges = int(np.asarray(backend.graph.q_valid).sum())
+    special = os.path.join(directory, "special_nodes.csv")
+    if os.path.exists(special):
+        with open(special) as f:
+            vals = dict(line.split() for line in f if line.strip())
+        if int(vals.get("anchor_node", -1)) >= 0:
+            backend.anchor_node_id = int(vals["anchor_node"])
+        if int(vals.get("anchor_edge", -1)) >= 0:
+            backend.anchor_edge_id = int(vals["anchor_edge"])
+        if int(vals.get("floor_node", -1)) >= 0:
+            backend.floor_plane_node_id = int(vals["floor_node"]) - g2o_io.PLANE_ID_OFFSET
 
     i = 0
     while True:

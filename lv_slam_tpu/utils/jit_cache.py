@@ -29,6 +29,31 @@ def transform_cloud_fn():
 
 
 @functools.lru_cache(maxsize=32)
+def window_flush_fn(resolution: float, out_cap: int):
+    """Motion-compose a whole keyframe window and voxel-downsample it in ONE
+    device program: (W,cap,3) points x (W,4,4) window-relative transforms ->
+    downsampled PointCloud. Replaces per-part transform dispatches (the
+    backend's per-keyframe host chatter through the remote-TPU relay)."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
+
+    @jax.jit
+    def run(xyz, inten, mask, rels):
+        moved = (
+            jnp.einsum("wij,wnj->wni", rels[:, :3, :3], xyz)
+            + rels[:, None, :3, 3]
+        )
+        moved = jnp.where(mask[..., None], moved, SENTINEL)
+        cloud = PointCloud(
+            moved.reshape(-1, 3), inten.reshape(-1), mask.reshape(-1)
+        )
+        return voxel_downsample(cloud, resolution, out_cap)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
 def build_map_fn(resolution: float, leaf_cap: int, lut_extent: int,
                  min_points_per_voxel: int = 6, min_covar_eigvalue_mult: float = 0.01,
                  weighted: bool = False):

@@ -2,7 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lv_slam_tpu.core import se3
-from lv_slam_tpu.graph import g2o_io, pose_graph as pg
+from lv_slam_tpu.graph import factors, g2o_io, pose_graph as pg
 
 
 def _chain_graph(rng, n=12, drift=0.03, with_loop=True, huber=0.0, node_cap=32, edge_cap=64):
@@ -119,3 +119,123 @@ def test_g2o_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(r1.poses)[:12], np.asarray(r2.poses)[:12], atol=1e-2
     )
+
+
+def test_shared_floor_plane_node(rng):
+    """Multiple keyframes constrained through ONE fixed floor plane vertex
+    (the reference's factorization, `global_graph_nodelet.cpp:598-612`):
+    z drift must be pulled back to the ground truth plane."""
+    graph, gt, est = _chain_graph(rng, with_loop=False, drift=0.0)
+    # inject pure z drift into the estimates
+    for i in range(12):
+        bad = est[i].copy()
+        bad[2, 3] += 0.15 * i
+        graph = pg.add_node(graph, i, bad)
+    graph = pg.add_plane_node(graph, 0, [0.0, 0.0, 1.0, 0.0], fixed=True)
+    # measured local floor coeffs from the TRUE poses (z = 0 plane)
+    floor = jnp.asarray([0.0, 0.0, 1.0, 0.0], jnp.float32)
+    for i in range(12):
+        meas = np.asarray(factors.plane_transform(jnp.asarray(gt[i], jnp.float32), floor))
+        graph = pg.add_se3_plane_edge(graph, i, i, 0, meas, np.eye(3) * 100.0)
+    result = pg.optimize_pose_graph(graph, 64)
+    poses = np.asarray(result.poses)
+    assert float(result.chi2_after) < float(result.chi2_before) * 0.05
+    # all z estimates pulled back to the ground-truth plane
+    assert np.abs(poses[:12, 2, 3] - gt[:12, 2, 3]).max() < 0.05
+    # the fixed floor vertex did not move
+    np.testing.assert_allclose(
+        np.asarray(result.planes)[0], [0.0, 0.0, 1.0, 0.0], atol=1e-6
+    )
+
+
+def test_plane_plane_factors(rng):
+    """identity / parallel / perpendicular / prior edges between plane nodes
+    (`include/g2o/edge_plane_{identity,parallel,prior}.hpp`)."""
+    graph = pg.empty_graph(4, 8, 4, plane_cap=4, sp_cap=8, q_cap=8)
+    graph = pg.add_node(graph, 0, np.eye(4))
+    # p0 fixed reference plane; p1 starts tilted + offset
+    graph = pg.add_plane_node(graph, 0, [0.0, 0.0, 1.0, 0.0], fixed=True)
+    tilted = np.array([0.2, -0.1, 0.97, 0.5])
+    graph = pg.add_plane_node(graph, 1, tilted)
+    graph = pg.add_plane_edge(
+        graph, 0, 1, 0, pg.PLANE_IDENTITY, np.zeros(4), np.eye(4) * 100.0
+    )
+    result = pg.optimize_pose_graph(graph, 64)
+    planes = np.asarray(result.planes)
+    # identity edge pulls p1 onto p0
+    np.testing.assert_allclose(planes[1], [0.0, 0.0, 1.0, 0.0], atol=1e-3)
+
+    # parallel edge: normals align, distance free
+    graph2 = pg.empty_graph(4, 8, 4, plane_cap=4, sp_cap=8, q_cap=8)
+    graph2 = pg.add_node(graph2, 0, np.eye(4))
+    graph2 = pg.add_plane_node(graph2, 0, [0.0, 0.0, 1.0, 0.0], fixed=True)
+    graph2 = pg.add_plane_node(graph2, 1, tilted)
+    graph2 = pg.add_plane_edge(
+        graph2, 0, 1, 0, pg.PLANE_PARALLEL, np.zeros(3), np.eye(3) * 100.0
+    )
+    # pin the distance with a distance prior (reference: EdgePlanePriorDistance)
+    graph2 = pg.add_plane_edge(
+        graph2, 1, 1, 1, pg.PLANE_PRIOR_DISTANCE, [2.0], np.eye(1) * 100.0
+    )
+    r2 = pg.optimize_pose_graph(graph2, 64)
+    planes2 = np.asarray(r2.planes)
+    np.testing.assert_allclose(planes2[1][:3], [0.0, 0.0, 1.0], atol=1e-3)
+    np.testing.assert_allclose(planes2[1][3], 2.0, atol=1e-3)
+
+    # normal prior pulls the normal to a target direction
+    graph3 = pg.empty_graph(4, 8, 4, plane_cap=4, sp_cap=8, q_cap=8)
+    graph3 = pg.add_node(graph3, 0, np.eye(4))
+    graph3 = pg.add_plane_node(graph3, 0, tilted)
+    graph3 = pg.add_plane_edge(
+        graph3, 0, 0, 0, pg.PLANE_PRIOR_NORMAL, [1.0, 0.0, 0.0], np.eye(3) * 100.0
+    )
+    r3 = pg.optimize_pose_graph(graph3, 64)
+    assert float(r3.chi2_after) < float(r3.chi2_before) * 0.05
+
+
+def test_g2o_roundtrip_with_priors_and_planes(rng, tmp_path):
+    """Round-trip a graph carrying EVERY factor family (the reference saves
+    all registered types, `graph_slam.cpp:333-341`) and assert the reloaded
+    factor set produces the identical chi2."""
+    graph, gt, _ = _chain_graph(rng, with_loop=True, huber=1.0)
+    # unary priors of each SE3 flavor
+    graph = pg.add_prior(graph, 0, 3, pg.PRIOR_XYZ, gt[3][:3, 3], np.eye(3) * 10.0, huber=0.5)
+    graph = pg.add_prior(graph, 1, 5, pg.PRIOR_XY, gt[5][:2, 3], np.eye(2) * 4.0)
+    graph = pg.add_prior(graph, 2, 7, pg.PRIOR_QUAT, se_quat(gt[7]), np.eye(3) * 25.0)
+    graph = pg.add_prior(
+        graph, 3, 9, pg.PRIOR_VEC,
+        np.array([0.0, 0.0, 1.0, 0.0, 0.0, 1.0]), np.eye(3) * 2.0,
+    )
+    # shared floor vertex + SE3-plane edges + plane-plane factors
+    graph = pg.add_plane_node(graph, 0, [0.0, 0.0, 1.0, 0.0], fixed=True)
+    graph = pg.add_plane_node(graph, 1, [0.05, 0.0, 1.0, 0.3])
+    graph = pg.add_se3_plane_edge(graph, 0, 2, 0, [0.0, 0.0, 1.0, 0.1], np.eye(3) * 8.0, huber=1.0)
+    graph = pg.add_se3_plane_edge(graph, 1, 4, 0, [0.01, 0.0, 1.0, -0.05], np.eye(3) * 8.0)
+    graph = pg.add_plane_edge(graph, 0, 1, 0, pg.PLANE_IDENTITY, np.zeros(4), np.eye(4) * 5.0)
+    graph = pg.add_plane_edge(graph, 1, 1, 0, pg.PLANE_PARALLEL, np.zeros(3), np.eye(3) * 5.0)
+    graph = pg.add_plane_edge(graph, 2, 1, 0, pg.PLANE_PERPENDICULAR, np.zeros(3), np.eye(1) * 0.1)
+    graph = pg.add_plane_edge(graph, 3, 1, 1, pg.PLANE_PRIOR_NORMAL, [0.0, 0.0, 1.0], np.eye(3) * 3.0)
+    graph = pg.add_plane_edge(graph, 4, 1, 1, pg.PLANE_PRIOR_DISTANCE, [0.2], np.eye(1) * 3.0)
+
+    path = str(tmp_path / "graph.g2o")
+    g2o_io.save_graph(path, graph)
+    text = open(path).read()
+    for tag in (
+        "VERTEX_PLANE", "EDGE_SE3_PLANE", "EDGE_SE3_PRIORXYZ", "EDGE_SE3_PRIORXY ",
+        "EDGE_SE3_PRIORQUAT", "EDGE_SE3_PRIORVEC", "EDGE_PLANE_IDENTITY",
+        "EDGE_PLANE_PARALLEL", "EDGE_PLANE_PAERPENDICULAR",
+        "EDGE_PLANE_PRIOR_NORMAL", "EDGE_PLANE_PRIOR_DISTANCE",
+    ):
+        assert tag in text, f"missing {tag} in g2o dump"
+    loaded = g2o_io.load_graph(path, node_cap=32, edge_cap=64)
+    # identical factor sets -> identical chi2 at the saved estimates
+    c1, _, _ = pg._chi2_and_normal(graph, jnp.asarray(graph.poses), jnp.asarray(graph.planes), False)
+    c2, _, _ = pg._chi2_and_normal(loaded, jnp.asarray(loaded.poses), jnp.asarray(loaded.planes), False)
+    np.testing.assert_allclose(float(c1), float(c2), rtol=1e-4)
+    # prior Huber widths survived the sidecar
+    assert loaded.p_huber[0] > 0
+    assert loaded.plane_fixed[0] and not loaded.plane_fixed[1]
+    r1 = pg.optimize_pose_graph(graph, 32)
+    r2 = pg.optimize_pose_graph(loaded, 32)
+    np.testing.assert_allclose(np.asarray(r1.poses)[:12], np.asarray(r2.poses)[:12], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(r1.planes)[:2], np.asarray(r2.planes)[:2], atol=1e-3)
