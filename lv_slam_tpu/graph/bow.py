@@ -58,6 +58,22 @@ def _assign(bits: jax.Array, centers: jax.Array) -> jax.Array:
     return jnp.argmin(d, axis=1)
 
 
+_PAD = 512
+
+
+def _assign_padded(bits: np.ndarray, centers: jax.Array) -> np.ndarray:
+    """Word assignment through a FIXED (pow2-padded) shape: descriptor counts
+    vary per keyframe, and letting each distinct count trace its own `_assign`
+    executable costs a compile per keyframe."""
+    k = bits.shape[0]
+    pad = _PAD
+    while pad < k:
+        pad *= 2
+    buf = np.zeros((pad, bits.shape[1]), bits.dtype)
+    buf[:k] = bits
+    return np.asarray(_assign(jnp.asarray(buf), centers))[:k]
+
+
 class Vocabulary:
     def __init__(self, centers: np.ndarray, idf: Optional[np.ndarray] = None):
         self.centers = jnp.asarray(centers, jnp.float32)  # (W,256)
@@ -85,7 +101,7 @@ class Vocabulary:
         # idf from the training image frequency (DBoW3 TF_IDF weighting)
         df = np.zeros(n_words)
         for d in descriptor_sets:
-            words = np.unique(np.asarray(_assign(jnp.asarray(_as_bits(d)), vocab.centers)))
+            words = np.unique(_assign_padded(_as_bits(d), vocab.centers))
             df[words] += 1
         vocab.idf = np.log(len(descriptor_sets) / np.maximum(df, 1.0)) + 1e-3
         return vocab
@@ -95,7 +111,7 @@ class Vocabulary:
         bits = _as_bits(descriptors)
         if bits.shape[0] == 0:
             return np.zeros(self.n_words)
-        words = np.asarray(_assign(jnp.asarray(bits), self.centers))
+        words = _assign_padded(bits, self.centers)
         vec = np.bincount(words, minlength=self.n_words).astype(np.float64) * self.idf
         norm = np.abs(vec).sum()
         return vec / norm if norm > 0 else vec

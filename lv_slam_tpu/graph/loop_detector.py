@@ -124,24 +124,61 @@ class LoopDetector:
         return out
 
     # -- visual ranking ------------------------------------------------------
+    def _bow_vector(self, kf: KeyFrame) -> np.ndarray:
+        """tf-idf vector, computed once per keyframe and cached on it."""
+        vec = getattr(kf, "bow_vector", None)
+        if vec is None:
+            vec = self.vocabulary.transform(kf.descriptor)
+            kf.bow_vector = vec
+        return vec
+
+    def maybe_train_vocabulary(self, keyframes: Sequence[KeyFrame]) -> None:
+        """BoW-by-default: the reference ships a pretrained DBoW3 vocabulary
+        (`loop_detector.hpp:51-71`); lacking an asset we train one on the
+        mapped sequence itself once enough described keyframes exist, after
+        which ranking is vocabulary-driven (host dot products on cached
+        vectors — zero device calls per query)."""
+        c = self.cfg
+        if self.vocabulary is not None or not c.auto_train_vocab:
+            return
+        described = [k.descriptor for k in keyframes if k.descriptor is not None and k.descriptor.shape[0] > 0]
+        if len(described) < c.vocab_min_keyframes:
+            return
+        from lv_slam_tpu.graph.bow import Vocabulary
+
+        self.vocabulary = Vocabulary.train(described, n_words=c.vocab_words)
+        for k in keyframes:  # invalidate any stale cached vectors
+            if hasattr(k, "bow_vector"):
+                del k.bow_vector
+
     def rank_candidates(self, candidates: List[KeyFrame], new_kf: KeyFrame):
         """Returns (ordered candidate list, scores) by visual similarity;
         keyframes without descriptors get score 1.0 (pure-lidar mode ranks by
-        recency, matching the reference's non-BoW `matching()` fallback)."""
+        recency, matching the reference's non-BoW `matching()` fallback).
+        All candidates are scored in one pass: vocabulary mode compares
+        cached tf-idf vectors on host; raw mode runs ONE batched device call
+        (`ops/orb.match_scores_batch`)."""
         if new_kf.descriptor is None or not any(c.descriptor is not None for c in candidates):
             return candidates[: self.cfg.candidates_cap], [1.0] * min(len(candidates), self.cfg.candidates_cap)
-        from lv_slam_tpu.ops.orb import match_score
+        if self.vocabulary is not None:
+            va = self._bow_vector(new_kf)
+            scores = [
+                0.0 if c.descriptor is None
+                else float(1.0 - 0.5 * np.abs(va - self._bow_vector(c)).sum())
+                for c in candidates
+            ]
+        else:
+            from lv_slam_tpu.ops.orb import match_scores_batch
 
-        scores = []
-        for cand in candidates:
-            if cand.descriptor is None:
-                scores.append(0.0)
-                continue
-            if self.vocabulary is not None:
-                s = float(self.vocabulary.score(new_kf.descriptor, cand.descriptor))
-            else:
-                s = float(match_score(new_kf.descriptor, cand.descriptor))
-            scores.append(s)
+            idx = [i for i, c in enumerate(candidates) if c.descriptor is not None]
+            batch = match_scores_batch(
+                new_kf.descriptor,
+                [candidates[i].descriptor for i in idx],
+                cap=self.cfg.descriptor_cap,
+            )
+            scores = [0.0] * len(candidates)
+            for j, i in enumerate(idx):
+                scores[i] = float(batch[j])
         order = np.argsort(scores)[::-1][: self.cfg.candidates_cap]
         ranked = [candidates[i] for i in order]
         rscores = [scores[i] for i in order]
@@ -210,6 +247,7 @@ class LoopDetector:
         return _batched_fitness_fn()(target_cloud, xyz, inten, mask, transforms)
 
     def detect(self, keyframes: Sequence[KeyFrame], new_keyframes: Sequence[KeyFrame]) -> List[Loop]:
+        self.maybe_train_vocabulary(list(keyframes) + list(new_keyframes))
         loops = []
         for new_kf in new_keyframes:
             candidates = self.find_candidates(keyframes, new_kf)

@@ -47,12 +47,11 @@ def make_world(seed: int = 0, extent: float = 160.0, n_buildings: int = 60, n_po
     return World(boxes=np.stack(boxes).astype(np.float32))
 
 
-def hdl64_rays(n_rings: int = 64, n_azimuth: int = 900) -> np.ndarray:
-    """(n_rings*n_azimuth, 3) unit directions in the sensor frame.
-
-    HDL-64E vertical field: +2 .. -24.8 degrees.
-    """
-    elev = np.deg2rad(np.linspace(2.0, -24.8, n_rings))
+def lidar_rays(
+    n_rings: int, n_azimuth: int, max_elev_deg: float, min_elev_deg: float
+) -> np.ndarray:
+    """(n_rings*n_azimuth, 3) unit directions in the sensor frame."""
+    elev = np.deg2rad(np.linspace(max_elev_deg, min_elev_deg, n_rings))
     azim = np.linspace(-np.pi, np.pi, n_azimuth, endpoint=False)
     ce, se = np.cos(elev), np.sin(elev)
     ca, sa = np.cos(azim), np.sin(azim)
@@ -61,6 +60,16 @@ def hdl64_rays(n_rings: int = 64, n_azimuth: int = 900) -> np.ndarray:
     dirs[..., 1] = ce[:, None] * sa[None, :]
     dirs[..., 2] = se[:, None]
     return dirs.reshape(-1, 3)
+
+
+def hdl64_rays(n_rings: int = 64, n_azimuth: int = 900) -> np.ndarray:
+    """HDL-64E vertical field: +2 .. -24.8 degrees."""
+    return lidar_rays(n_rings, n_azimuth, 2.0, -24.8)
+
+
+def vlp16_rays(n_rings: int = 16, n_azimuth: int = 900) -> np.ndarray:
+    """VLP-16 vertical field: +-15 degrees (the kylin/grodog rigs)."""
+    return lidar_rays(n_rings, n_azimuth, 15.0, -15.0)
 
 
 def _raycast(origins: np.ndarray, dirs: np.ndarray, world: World, max_range: float) -> np.ndarray:
@@ -205,6 +214,8 @@ def make_sequence(
     n_rings: int = 64,
     n_azimuth: int = 900,
     noise_std: float = 0.01,
+    max_elev_deg: float = 2.0,
+    min_elev_deg: float = -24.8,
 ) -> Tuple[List[np.ndarray], np.ndarray, World]:
     """Returns (scans [list of (M,4) sensor-frame], gt_poses (n,4,4), world)."""
     world = make_world(seed)
@@ -214,7 +225,7 @@ def make_sequence(
         poses = straight_trajectory(n_scans, step)
     else:
         raise ValueError(trajectory)
-    rays = hdl64_rays(n_rings, n_azimuth)
+    rays = lidar_rays(n_rings, n_azimuth, max_elev_deg, min_elev_deg)
     scans = [
         simulate_scan(world, poses[i], rays, noise_std=noise_std, seed=seed + i)
         for i in range(n_scans)

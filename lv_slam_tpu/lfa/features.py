@@ -145,7 +145,8 @@ def _pick(image, c, ok, per_sector, n_sectors, cap, largest):
 def extract_features(cloud: PointCloud, cfg: LfaConfig) -> FeatureClouds:
     """Full scanRegistration equivalent: range image -> curvature -> picks."""
     image, valid = project_range_image(
-        cloud, n_rings=cfg.scan_line, minimum_range=cfg.minimum_range
+        cloud, n_rings=cfg.scan_line, minimum_range=cfg.minimum_range,
+        min_elev_deg=cfg.min_elev_deg, max_elev_deg=cfg.max_elev_deg,
     )
     image, valid = compact_rows(image, valid)
     c, cok = curvature(image, valid)

@@ -196,6 +196,62 @@ def match_score(desc_a: np.ndarray, desc_b: np.ndarray, max_dist: float = 64.0) 
     return float(n_good / min(a.shape[0], b.shape[0]))
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def _match_scores_masked(a, a_mask, bs, b_masks, max_dist: float):
+    """a (D,256) vs a stacked candidate batch bs (K,D,256) -> (K,) scores."""
+
+    def one(b, b_mask):
+        d = hamming_matrix(a, b)
+        valid = a_mask[:, None] & b_mask[None, :]
+        d = jnp.where(valid, d, 1e9)
+        best_ab = jnp.argmin(d, axis=1)
+        best_ba = jnp.argmin(d, axis=0)
+        ia = jnp.arange(a.shape[0])
+        mutual = (best_ba[best_ab] == ia) & a_mask
+        dist_ok = jnp.take_along_axis(d, best_ab[:, None], axis=1)[:, 0] <= max_dist
+        n_good = jnp.sum((mutual & dist_ok).astype(jnp.float32))
+        na = jnp.sum(a_mask.astype(jnp.float32))
+        nb = jnp.sum(b_mask.astype(jnp.float32))
+        return n_good / jnp.maximum(jnp.minimum(na, nb), 1.0)
+
+    return jax.vmap(one)(bs, b_masks)
+
+
+def match_scores_batch(
+    desc_a: np.ndarray, desc_list, cap: int = 512, max_dist: float = 64.0
+) -> np.ndarray:
+    """`match_score` against MANY candidates in ONE device call (the
+    reference ranks its loop candidates with one DBoW3 query per candidate,
+    `loop_detector.hpp:231-240`; per-candidate device calls cost a relay
+    round trip each). Descriptor sets are padded to `cap` rows and the
+    candidate count to the next power of two, so compile count stays O(log K)."""
+    if desc_a.shape[0] == 0 or not desc_list:
+        return np.zeros(len(desc_list))
+    bits_a = unpack_descriptors(desc_a) if desc_a.dtype == np.uint8 else np.asarray(desc_a, bool)
+    a = np.zeros((cap, 256), bool)
+    a[: min(cap, bits_a.shape[0])] = bits_a[:cap]
+    a_mask = np.zeros(cap, bool)
+    a_mask[: min(cap, bits_a.shape[0])] = True
+
+    k = len(desc_list)
+    k_pad = 1
+    while k_pad < k:
+        k_pad *= 2
+    bs = np.zeros((k_pad, cap, 256), bool)
+    b_masks = np.zeros((k_pad, cap), bool)
+    for i, d in enumerate(desc_list):
+        if d is None or d.shape[0] == 0:
+            continue
+        bits = unpack_descriptors(d) if d.dtype == np.uint8 else np.asarray(d, bool)
+        m = min(cap, bits.shape[0])
+        bs[i, :m] = bits[:m]
+        b_masks[i, :m] = True
+    scores = _match_scores_masked(
+        jnp.asarray(a), jnp.asarray(a_mask), jnp.asarray(bs), jnp.asarray(b_masks), max_dist
+    )
+    return np.asarray(scores)[:k]
+
+
 @jax.jit
 def _halve(img: jax.Array) -> jax.Array:
     """2x2 average-pool downsample (the ORB pyramid's level step)."""

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--no-lfa", action="store_true")
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--optimize-every", type=int, default=100)
+    ap.add_argument(
+        "--vocab", default=None,
+        help="pretrained BoW vocabulary (.npz from scripts/train_vocab.py); "
+        "without it the loop detector trains one on the sequence's own "
+        "keyframes (LoopDetectorConfig.auto_train_vocab)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -41,8 +47,17 @@ def main():
     if args.max_scans:
         scan_files = scan_files[: args.max_scans]
 
+    vocabulary = None
+    if args.vocab:
+        from lv_slam_tpu.graph.bow import Vocabulary
+
+        vocabulary = Vocabulary.load(args.vocab)
+
     cfg = PipelineConfig(calib_tr=tuple(tr[:3, :4].reshape(-1)))
-    slam = LvSlam(cfg, use_lfa=not args.no_lfa, optimize_every=args.optimize_every)
+    slam = LvSlam(
+        cfg, use_lfa=not args.no_lfa, optimize_every=args.optimize_every,
+        vocabulary=vocabulary,
+    )
 
     from lv_slam_tpu import native
 

@@ -59,6 +59,96 @@ def test_lfa_pipeline_tracks(lfa_sequence):
     assert final_err < 0.25, final_err
 
 
+def test_lfa_16_ring_tracks():
+    """The 16-line regime (kylin/grodog datasets, `dlo_lfa_ggo_kylin.launch`:
+    scan_line=16, +-15 deg FOV, finer feature resolutions) must track too."""
+    from lv_slam_tpu.config import kylin_config
+
+    cfg = kylin_config()
+    lfa = cfg.lfa
+    assert lfa.scan_line == 16 and lfa.mapping_line_resolution == 0.2
+    scans, gt, _ = synthetic.make_sequence(
+        6, seed=33, trajectory="figure8", step=0.5, n_rings=16, n_azimuth=900,
+        noise_std=0.005, max_elev_deg=15.0, min_elev_deg=-15.0,
+    )
+    pipe = LfaPipeline(lfa)
+    est = np.stack([pipe.process_numpy(s, cap=16384) for s in scans])
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    for i in range(1, len(scans)):
+        rel_gt = np.linalg.inv(gt_rel[i - 1]) @ gt_rel[i]
+        rel_est = np.linalg.inv(est[i - 1]) @ est[i]
+        err = np.linalg.norm((np.linalg.inv(rel_est) @ rel_gt)[:3, 3])
+        assert err < 0.10, (i, err)
+
+
+def test_dataset_preset_surface():
+    """Per-dataset factories mirror their launch files' deltas."""
+    from lv_slam_tpu import config as C
+
+    assert set(C.DATASET_CONFIGS) == {"kitti", "kylin", "ob", "grodog", "panda"}
+    ky = C.kylin_config()
+    assert ky.odometry.keyframe_delta_trans == 2.0
+    assert (ky.loop.distance_thresh, ky.loop.accum_distance_thresh, ky.loop.min_edge_interval) == (5.0, 25.0, 15.0)
+    gr = C.grodog_config()
+    assert gr.prefilter.distance_near_thresh == 0.2
+    assert gr.prefilter.downsample_method == "NONE"
+    assert gr.odometry.keyframe_delta_angle == 0.34
+    assert (gr.loop.distance_thresh, gr.loop.accum_distance_thresh, gr.loop.min_edge_interval) == (5.0, 10.0, 7.0)
+    assert gr.lfa.scan_line == 16 and gr.lfa.minimum_range == 0.3
+    pa = C.panda_config()
+    assert pa.lfa.scan_line == 64
+    assert C.ob_config().lfa.mapping_plane_resolution == 0.4
+
+
+def test_lfa_fused_matches_host_pipeline(lfa_sequence):
+    """The lax.scan LFA (one device program for the whole sequence) must
+    reproduce the host-driven pipeline's trajectory."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+
+    scans, gt = lfa_sequence
+    cap = 32768
+    host = LfaPipeline(_CFG)
+    host_poses = np.stack([host.process_numpy(s, cap=cap) for s in scans])
+
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    fused_poses = np.asarray(run_sequence_lfa(xyz, mask, _CFG))
+    assert fused_poses.shape == host_poses.shape
+    for i in range(len(scans)):
+        dt = np.linalg.norm(fused_poses[i][:3, 3] - host_poses[i][:3, 3])
+        assert dt < 0.05, (i, dt)
+
+
+def test_lfa_fused_dlo_coupling(lfa_sequence):
+    """dlo_lfa mode: external odometry seeds the scan-to-map refinement; a
+    perturbed seed trajectory must come out closer to ground truth."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+
+    scans, gt = lfa_sequence
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt).astype(np.float32)
+    # accumulated drift (what scan-to-map refinement corrects): each step's
+    # relative motion carries a small systematic bias
+    noisy = gt_rel.copy()
+    for i in range(1, len(scans)):
+        noisy[i:, :3, 3] += np.float32(0.03)  # 3 cm/step x-drift
+
+    cap = 32768
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    refined = np.asarray(run_sequence_lfa(xyz, mask, _CFG, odom_poses=jnp.asarray(noisy)))
+    err_in = np.linalg.norm(noisy[1:, :3, 3] - gt_rel[1:, :3, 3], axis=1)
+    err_out = np.linalg.norm(refined[1:, :3, 3] - gt_rel[1:, :3, 3], axis=1)
+    # drift accumulates in the seed; the map-refined trajectory must not
+    assert err_out[-1] < err_in[-1] * 0.5, (err_in[-1], err_out[-1])
+    assert err_out.mean() < err_in.mean() * 0.6, (err_in.mean(), err_out.mean())
+
+
 def test_lfa_mapping_corrects_bad_seed(lfa_sequence):
     """Scan-to-map refinement must pull a perturbed odometry seed back to the
     map (this was silently a no-op before the NaN-poisoning fix)."""

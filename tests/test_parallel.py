@@ -49,13 +49,18 @@ def test_sharded_derivatives_match_single(pair):
 
 
 def test_sharded_align_matches_single(pair):
+    """The sharded align must be ALGORITHMICALLY identical to the optimized
+    single-chip SoA path (same packed-gather kernel, same monotone-guarded
+    Newton loop) — only float reduction order may differ."""
+    from lv_slam_tpu.ops.ndt_soa import ndt_align_soa
+
     target, source, gt = pair
     vm = _build(target)
     guess = jnp.eye(4).at[0, 3].set(1.2)
 
     single = jax.jit(
         functools.partial(
-            ndt_align, resolution=1.0, max_iterations=64,
+            ndt_align_soa, resolution=1.0, max_iterations=64,
             transformation_epsilon=0.01, neighborhood="DIRECT7", weighted=False,
         )
     )(vm, source, guess)
