@@ -1,4 +1,4 @@
-"""Benchmark: full scan-in/pose-out DLO loop throughput on one chip.
+"""Benchmark: flagship-pipeline scan-in/pose-out throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -7,15 +7,28 @@ Baseline: the reference runs KITTI bags in real time at the Velodyne rate
 speedup over that 10 scans/s real-time rate. The driver-set north star is
 >= 100 scans/s/chip (BASELINE.json).
 
+BENCH_MODE selects the measured topology:
+- full  (default): dlo -> lfa -> ggo — the reference's flagship
+  `dlo_lfa_ggo_kitti.launch` stack (fused NDT odometry lax.scan, fused
+  A-LOAM-style feature mapping lax.scan seeded by the dlo poses, then the
+  global-graph cycle). The BASELINE.json metric.
+- dlo_ggo: round-1 compatible mode without the LFA stage (its delta vs
+  `full` is the LFA cost).
+- fused: odometry only; host: per-scan host-driver odometry.
+
 The workload replays a synthetic HDL-64-density sequence (64 rings x 900
 azimuth, ~45k returns/scan — KITTI-like after the 0.1 m prefilter) through
 the flagship configuration: PCA-weighted NDT, DIRECT1, eps 0.01, <=64
 iterations, 10 m/0.17 rad/1 s keyframe gates, keyframe map rebuilds included.
+
+Accuracy gate: the devkit-style relative translation error on the synthetic
+ground truth must stay under 1% (the reference-parity bar is t <= 0.0094,
+BASELINE.md) and the final-pose drift under 2% of distance — a diverged run's
+throughput is meaningless.
 """
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/lv_slam_jax")
@@ -29,14 +42,28 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 
 
+def _devkit_t_err(gt_rel: np.ndarray, est: np.ndarray) -> float:
+    """KITTI-devkit-style relative translation error; segment lengths scale
+    down for short synthetic runs (devkit's own 100-800 m segments need a
+    real sequence)."""
+    from lv_slam_tpu.io import kitti
+
+    total = float(
+        np.linalg.norm(gt_rel[1:, :3, 3] - gt_rel[:-1, :3, 3], axis=1).sum()
+    )
+    lengths = None
+    if total < 850.0:
+        lengths = tuple(f * total for f in (0.25, 0.5, 0.75)) or None
+    t_err, _ = kitti.kitti_seq_error(gt_rel, est, step=5, lengths=lengths)
+    return float(t_err)
+
+
 def main():
     n_scans = int(os.environ.get("BENCH_SCANS", "40"))
-    # full = NDT odometry + global graph (the BASELINE.json metric);
-    # fused = odometry only; host = per-scan host-driver odometry
     mode = os.environ.get("BENCH_MODE", "full")
     import jax.numpy as jnp
 
-    from lv_slam_tpu.config import NDTConfig, OdometryConfig
+    from lv_slam_tpu.config import LfaConfig, NDTConfig, OdometryConfig
     from lv_slam_tpu.core.cloud import PointCloud
     from lv_slam_tpu.io import synthetic
 
@@ -45,16 +72,20 @@ def main():
     )
     cap = 65536
     cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=32768, lut_extent=256))
+    lfa_cfg = LfaConfig()
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
-    extra = {}
+    extra = {"mode": mode}
 
-    if mode in ("fused", "full"):
+    if mode in ("fused", "full", "dlo_ggo"):
         from lv_slam_tpu.odometry.fused import run_sequence_fused
 
         clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
         xyz = jnp.stack([c.xyz for c in clouds])
         mask = jnp.stack([c.mask for c in clouds])
         stamps = jnp.arange(n_scans, dtype=jnp.float32) * 0.1
+
+        if mode == "full":
+            from lv_slam_tpu.lfa.fused import run_sequence_lfa
 
         def run_ggo(poses_np):
             """Global-graph cycle over the odometry output (flagship config)."""
@@ -76,10 +107,21 @@ def main():
                 backend.optimize()
             return backend
 
+        def run_chain():
+            """One full-pipeline pass; returns final (host) pose array."""
+            odom = run_sequence_fused(xyz, mask, stamps, cfg)
+            if mode == "full":
+                refined = run_sequence_lfa(xyz, mask, lfa_cfg, odom_poses=odom)
+            else:
+                refined = odom
+            poses_np = np.asarray(refined)  # the one true sync point
+            if mode in ("full", "dlo_ggo"):
+                backend = run_ggo(poses_np)
+                extra["keyframes"] = len(backend.keyframes)
+            return poses_np
+
         # warm-up compiles every step variant once
-        est = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg))
-        if mode == "full":
-            run_ggo(est)
+        est = run_chain()
         reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
         # NOTE: through the remote-TPU relay `block_until_ready` does not
         # actually block; a host fetch is the only true synchronization. The
@@ -88,11 +130,7 @@ def main():
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = run_sequence_fused(xyz, mask, stamps, cfg)
-            poses_np = np.asarray(out)  # true sync
-            if mode == "full":
-                backend = run_ggo(poses_np)
-                extra["keyframes"] = len(backend.keyframes)
+            est = run_chain()
             times.append(time.perf_counter() - t0)
         elapsed = min(times)
         timed = n_scans
@@ -114,20 +152,30 @@ def main():
         extra["keyframes"] = odo.stats.keyframe_count
 
     scans_per_sec = timed / elapsed
-    # sanity: throughput of a diverged run is meaningless
+    # accuracy gates: throughput of a diverged run is meaningless
     final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3])
     drift_ok = final_err < 0.02 * max(1.0, n_scans)  # < 2% of distance
+    try:
+        t_rel = _devkit_t_err(gt_rel[: est.shape[0]], est)
+    except Exception:
+        t_rel = float("nan")
+    # reference-parity bar: t <= 0.0094 (BASELINE.md); gate at ~1%
+    rel_ok = not np.isfinite(t_rel) or t_rel <= 0.010
 
+    metric = {
+        "full": "slam_scans_per_sec_per_chip",
+        "dlo_ggo": "dlo_ggo_scans_per_sec_per_chip",
+    }.get(mode, "dlo_scans_per_sec_per_chip")
     result = {
-        "metric": "slam_scans_per_sec_per_chip" if mode == "full" else "dlo_scans_per_sec_per_chip",
+        "metric": metric,
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 2),
         "extra": {
-            "mode": mode,
             "n_scans": timed,
             "final_traj_err_m": round(float(final_err), 4),
-            "tracking_ok": bool(drift_ok),
+            "devkit_t_err": round(t_rel, 5) if np.isfinite(t_rel) else None,
+            "tracking_ok": bool(drift_ok and rel_ok),
             "platform": jax.devices()[0].platform,
             **extra,
         },

@@ -91,14 +91,16 @@ def _trajectory_distances(poses: np.ndarray) -> np.ndarray:
     return d
 
 
-def kitti_seq_error(gt: np.ndarray, est: np.ndarray, step: int = 10):
+def kitti_seq_error(gt: np.ndarray, est: np.ndarray, step: int = 10, lengths=None):
     """(t_err, r_err) averaged over all subsequences of the devkit lengths —
-    the metric behind the README's seq-04 numbers (`README.md:135-138`)."""
+    the metric behind the README's seq-04 numbers (`README.md:135-138`).
+    `lengths` overrides the devkit's 100-800 m segments (short synthetic
+    benchmark runs need proportionally shorter segments)."""
     assert len(gt) == len(est)
     dist = _trajectory_distances(gt)
     errs_t, errs_r = [], []
     for first in range(0, len(gt), step):
-        for seg_len in _LENGTHS:
+        for seg_len in lengths or _LENGTHS:
             target = dist[first] + seg_len
             last = int(np.searchsorted(dist, target))
             if last >= len(gt):

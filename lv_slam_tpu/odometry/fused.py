@@ -32,7 +32,7 @@ from lv_slam_tpu.ops.voxel_map import VoxelMap, build_voxel_map
 
 
 class FusedState(NamedTuple):
-    key_map: VoxelMap
+    key_map: VoxelMap          # VoxelMap (lut mode) or ndt_hash.HashVoxelMap
     key_pose: jax.Array        # (4,4)
     tf_s2k: jax.Array          # (4,4)
     pre_tf_s2k: jax.Array      # (4,4)
@@ -58,6 +58,7 @@ def _jitted_step_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | Non
 
 def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
     ndt = cfg.ndt
+    use_hash = ndt.table.lower() == "hash"
 
     build = functools.partial(
         build_voxel_map,
@@ -68,8 +69,17 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
         min_covar_eigvalue_mult=ndt.min_covar_eigvalue_mult,
         weighted=ndt.weighted,
     )
+    if use_hash:
+        # the keyframe map lives in fused state as the hash table itself:
+        # `to_hash` is paid once per keyframe rebuild (and the dense LUT is
+        # never consumed, so XLA dead-code-eliminates its scatter)
+        from lv_slam_tpu.ops.ndt_hash import ndt_align_hash_table
+
+        align_fn = ndt_align_hash_table
+    else:
+        align_fn = ndt_align
     align = functools.partial(
-        ndt_align,
+        align_fn,
         resolution=ndt.resolution,
         outlier_ratio=ndt.outlier_ratio,
         step_size=ndt.step_size,
@@ -80,7 +90,7 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
         coarse_subsample=ndt.coarse_subsample,
     )
     align_retry = functools.partial(
-        ndt_align,
+        align_fn,
         resolution=ndt.resolution,
         outlier_ratio=ndt.outlier_ratio,
         step_size=ndt.step_size,
@@ -90,17 +100,30 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
         weighted=ndt.weighted,
     )
     from lv_slam_tpu.ops.ndt import make_gauss_params
+    from lv_slam_tpu.ops.ndt_hash import ndt_derivatives_hash, to_hash
     from lv_slam_tpu.ops.ndt_soa import ndt_derivatives_soa, to_soa
     from lv_slam_tpu.ops.voxel_map import neighborhood_offsets
 
     _gauss = make_gauss_params(ndt.resolution, ndt.outlier_ratio)
     _offs = neighborhood_offsets(ndt.neighborhood)
 
+    if use_hash:
+        base_build = build
+
+        def build(cloud):  # noqa: F811 — hash-mode map builder
+            return to_hash(base_build(cloud), ndt.hash_buckets_per_leaf)
+
     def score_at(key_map, cloud, transform):
-        s, _, _ = ndt_derivatives_soa(
-            to_soa(key_map), cloud.masked_xyz().T, cloud.mask, transform,
-            _gauss, _offs, ndt.weighted,
-        )
+        if use_hash:
+            s, _, _ = ndt_derivatives_hash(
+                key_map, cloud.masked_xyz().T, cloud.mask, transform,
+                _gauss, _offs, ndt.weighted,
+            )
+        else:
+            s, _, _ = ndt_derivatives_soa(
+                to_soa(key_map), cloud.masked_xyz().T, cloud.mask, transform,
+                _gauss, _offs, ndt.weighted,
+            )
         return s
 
     def init_state(cloud: PointCloud, stamp) -> FusedState:

@@ -56,6 +56,81 @@ def to_soa(vmap_: VoxelMap) -> VoxelMapSOA:
     )
 
 
+def accumulate_ndt_terms(
+    y: jax.Array,      # (3,N) transformed points
+    row: jax.Array,    # (N,16) packed leaf attributes (columns per to_soa)
+    hit: jax.Array,    # (N,) leaf-hit mask
+    gauss: GaussParams,
+    weighted: bool,
+    col0: int = 0,     # column of mu0 within the row (hash rows embed a key)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One neighborhood offset's (score, grad, hess) contribution — shared by
+    the LUT (SoA) and hash-table derivative passes."""
+    mu = row[:, col0 : col0 + 3].T                            # (3,N)
+    c00, c01, c02 = row[:, col0 + 3], row[:, col0 + 4], row[:, col0 + 5]
+    c11, c12, c22 = row[:, col0 + 6], row[:, col0 + 7], row[:, col0 + 8]
+    w_leaf = row[:, col0 + 9]
+
+    d0, d1, d2_ = y[0] - mu[0], y[1] - mu[1], y[2] - mu[2]
+    q0 = c00 * d0 + c01 * d1 + c02 * d2_
+    q1 = c01 * d0 + c11 * d1 + c12 * d2_
+    q2 = c02 * d0 + c12 * d1 + c22 * d2_
+    md = d0 * q0 + d1 * q1 + d2_ * q2
+    eterm = jnp.exp(-0.5 * gauss.d2 * md)
+    gate_val = gauss.d2 * eterm
+    gate = hit & (gate_val <= 1.0) & (gate_val >= 0.0) & jnp.isfinite(gate_val)
+    w = jnp.where(gate, w_leaf if weighted else 1.0, 0.0)
+
+    score = jnp.sum(w * (-gauss.d1 * eterm))
+    f = w * (gauss.d1 * gauss.d2 * eterm)                     # (N,)
+
+    # g6 = [q ; y x q]
+    g3 = y[1] * q2 - y[2] * q1
+    g4 = y[2] * q0 - y[0] * q2
+    g5 = y[0] * q1 - y[1] * q0
+    g6 = jnp.stack([q0, q1, q2, g3, g4, g5])                  # (6,N)
+
+    grad = jnp.einsum("n,in->i", f, g6)
+
+    # Hessian: f * (-d2 g6 g6^T + T2 + J^T C J)
+    h1 = jnp.einsum("n,in,jn->ij", -gauss.d2 * f, g6, g6)
+    qy = q0 * y[0] + q1 * y[1] + q2 * y[2]
+    q_st = jnp.stack([q0, q1, q2])
+    t2 = jnp.einsum("n,in,jn->ij", f, y, q_st) - jnp.sum(f * qy) * jnp.eye(3)
+    h2 = jnp.zeros((6, 6)).at[3:, 3:].set(t2)
+
+    # J^T C J = [[C, -CS],[SC, -SCS]], S = skew(y)
+    c = jnp.stack([
+        jnp.stack([c00, c01, c02]),
+        jnp.stack([c01, c11, c12]),
+        jnp.stack([c02, c12, c22]),
+    ])  # (3,3,N)
+    cs = jnp.stack([
+        jnp.stack([c[i, 1] * y[2] - c[i, 2] * y[1] for i in range(3)]),
+        jnp.stack([c[i, 2] * y[0] - c[i, 0] * y[2] for i in range(3)]),
+        jnp.stack([c[i, 0] * y[1] - c[i, 1] * y[0] for i in range(3)]),
+    ], axis=1)   # cs[i,j] = (C S)_{ij}
+    # with S antisymmetric and C symmetric: SC = -(CS)^T, so only CS and
+    # S C S need computing; scs[i,j] = sum_k (SC)_{ik} S_{kj} = -(CS)^T S
+    sc = -jnp.swapaxes(cs, 0, 1)
+    scs = jnp.stack([
+        jnp.stack([sc[i, 1] * y[2] - sc[i, 2] * y[1] for i in range(3)]),
+        jnp.stack([sc[i, 2] * y[0] - sc[i, 0] * y[2] for i in range(3)]),
+        jnp.stack([sc[i, 0] * y[1] - sc[i, 1] * y[0] for i in range(3)]),
+    ], axis=1)
+
+    c_sum = jnp.einsum("n,ijn->ij", f, c)
+    cs_sum = jnp.einsum("n,ijn->ij", f, cs)
+    scs_sum = jnp.einsum("n,ijn->ij", f, scs)
+    h3 = jnp.zeros((6, 6))
+    h3 = h3.at[:3, :3].set(c_sum)
+    h3 = h3.at[:3, 3:].set(-cs_sum)
+    h3 = h3.at[3:, :3].set(-cs_sum.T)
+    h3 = h3.at[3:, 3:].set(-scs_sum)
+
+    return score, grad, h1 + h2 + h3
+
+
 def ndt_derivatives_soa(
     soa: VoxelMapSOA,
     xs: jax.Array,          # (3, N) source points (SoA)
@@ -83,75 +158,19 @@ def ndt_derivatives_soa(
         leaf = soa.lut[jnp.where(in_extent, flat, 0)]         # gather 1
         hit = in_extent & (leaf >= 0) & mask
         row = soa.packed[jnp.where(hit, leaf, 0)]             # gather 2 (N,16)
-
-        mu = row[:, 0:3].T                                    # (3,N)
-        c00, c01, c02 = row[:, 3], row[:, 4], row[:, 5]
-        c11, c12, c22 = row[:, 6], row[:, 7], row[:, 8]
-        w_leaf = row[:, 9]
-
-        d0, d1, d2_ = y[0] - mu[0], y[1] - mu[1], y[2] - mu[2]
-        q0 = c00 * d0 + c01 * d1 + c02 * d2_
-        q1 = c01 * d0 + c11 * d1 + c12 * d2_
-        q2 = c02 * d0 + c12 * d1 + c22 * d2_
-        md = d0 * q0 + d1 * q1 + d2_ * q2
-        eterm = jnp.exp(-0.5 * gauss.d2 * md)
-        gate_val = gauss.d2 * eterm
-        gate = hit & (gate_val <= 1.0) & (gate_val >= 0.0) & jnp.isfinite(gate_val)
-        w = jnp.where(gate, w_leaf if weighted else 1.0, 0.0)
-
-        score = score + jnp.sum(w * (-gauss.d1 * eterm))
-        f = w * (gauss.d1 * gauss.d2 * eterm)                 # (N,)
-
-        # g6 = [q ; y x q]
-        g3 = y[1] * q2 - y[2] * q1
-        g4 = y[2] * q0 - y[0] * q2
-        g5 = y[0] * q1 - y[1] * q0
-        g6 = jnp.stack([q0, q1, q2, g3, g4, g5])              # (6,N)
-
-        grad = grad + jnp.einsum("n,in->i", f, g6)
-
-        # Hessian: f * (-d2 g6 g6^T + T2 + J^T C J)
-        h1 = jnp.einsum("n,in,jn->ij", -gauss.d2 * f, g6, g6)
-        qy = q0 * y[0] + q1 * y[1] + q2 * y[2]
-        q_st = jnp.stack([q0, q1, q2])
-        t2 = jnp.einsum("n,in,jn->ij", f, y, q_st) - jnp.sum(f * qy) * jnp.eye(3)
-        h2 = jnp.zeros((6, 6)).at[3:, 3:].set(t2)
-
-        # J^T C J = [[C, -CS],[SC, -SCS]], S = skew(y)
-        c = jnp.stack([
-            jnp.stack([c00, c01, c02]),
-            jnp.stack([c01, c11, c12]),
-            jnp.stack([c02, c12, c22]),
-        ])  # (3,3,N)
-        cs = jnp.stack([
-            jnp.stack([c[i, 1] * y[2] - c[i, 2] * y[1] for i in range(3)]),
-            jnp.stack([c[i, 2] * y[0] - c[i, 0] * y[2] for i in range(3)]),
-            jnp.stack([c[i, 0] * y[1] - c[i, 1] * y[0] for i in range(3)]),
-        ], axis=1)   # cs[i,j] = (C S)_{ij}
-        # with S antisymmetric and C symmetric: SC = -(CS)^T, so only CS and
-        # S C S need computing; scs[i,j] = sum_k (SC)_{ik} S_{kj} = -(CS)^T S
-        sc = -jnp.swapaxes(cs, 0, 1)
-        scs = jnp.stack([
-            jnp.stack([sc[i, 1] * y[2] - sc[i, 2] * y[1] for i in range(3)]),
-            jnp.stack([sc[i, 2] * y[0] - sc[i, 0] * y[2] for i in range(3)]),
-            jnp.stack([sc[i, 0] * y[1] - sc[i, 1] * y[0] for i in range(3)]),
-        ], axis=1)
-
-        c_sum = jnp.einsum("n,ijn->ij", f, c)
-        cs_sum = jnp.einsum("n,ijn->ij", f, cs)
-        scs_sum = jnp.einsum("n,ijn->ij", f, scs)
-        h3 = jnp.zeros((6, 6))
-        h3 = h3.at[:3, :3].set(c_sum)
-        h3 = h3.at[:3, 3:].set(-cs_sum)
-        h3 = h3.at[3:, :3].set(-cs_sum.T)
-        h3 = h3.at[3:, 3:].set(-scs_sum)
-
-        hess = hess + h1 + h2 + h3
+        s, g, h = accumulate_ndt_terms(y, row, hit, gauss, weighted)
+        score, grad, hess = score + s, grad + g, hess + h
 
     return score, grad, hess
 
 
 def _newton_loop(derivs, guess, eps, step_max, max_iterations):
+    """Monotone-guarded damped-Newton ascent on the NDT score.
+
+    The carry's iteration counter and convergence flag are derived from the
+    initial score rather than fresh literals so the loop stays legal when the
+    inputs vary over a shard_map mesh axis (the varying-axes rule would
+    otherwise reject mixing an unvarying carry with varying loop state)."""
     step_min = eps / 2.0
     score0, grad0, hess0 = derivs(guess)
 
@@ -181,7 +200,9 @@ def _newton_loop(derivs, guess, eps, step_max, max_iterations):
         converged = bad | (it > max_iterations) | (accept & (alpha < eps)) | shrunk_out
         return transform, score, grad, hess, cap, it, converged
 
-    init = (guess, score0, grad0, hess0, step_max, jnp.int32(0), jnp.bool_(False))
+    it0 = (score0 * 0.0).astype(jnp.int32)
+    conv0 = jnp.isnan(score0)
+    init = (guess, score0, grad0, hess0, step_max + score0 * 0.0, it0, conv0)
     return jax.lax.while_loop(cond, body, init)
 
 
