@@ -208,6 +208,10 @@ class GraphConfig:
     # --- capacities ---
     keyframe_cap: int = 1024
     edge_cap: int = 4096
+    prior_cap: int = 256
+    plane_cap: int = 8
+    sp_edge_cap: int = 64   # SE3<->plane edges (floor constraints)
+    plane_edge_cap: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

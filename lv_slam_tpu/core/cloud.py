@@ -80,14 +80,20 @@ class PointCloud:
         return jnp.where(self.mask[:, None], self.xyz, SENTINEL)
 
     def compact(self, out_cap: Optional[int] = None) -> "PointCloud":
-        """Stable-move valid lanes to the front (device-side), resize to out_cap."""
+        """Stable-move valid lanes to the front (device-side), resize to out_cap.
+
+        Gather cost scales with index count, so only the first `out_cap`
+        sorted positions are gathered, and all columns ride one packed row.
+        """
         out_cap = out_cap or self.cap
-        order = jnp.argsort(~self.mask, stable=True)
-        xyz = self.xyz[order][:out_cap]
-        inten = self.intensity[order][:out_cap]
-        mask = self.mask[order][:out_cap]
-        xyz = jnp.where(mask[:, None], xyz, SENTINEL)
-        return PointCloud(xyz, inten, mask)
+        idx = jnp.argsort(~self.mask, stable=True)[:out_cap]
+        packed = jnp.concatenate(
+            [self.xyz, self.intensity[:, None], self.mask[:, None].astype(jnp.float32)],
+            axis=1,
+        )[idx]
+        mask = packed[:, 4] > 0.5
+        xyz = jnp.where(mask[:, None], packed[:, 0:3], SENTINEL)
+        return PointCloud(xyz, packed[:, 3], mask)
 
     def to_numpy(self):
         """Host `(n,4)` array of the valid points."""

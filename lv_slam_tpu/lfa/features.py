@@ -63,19 +63,23 @@ def project_range_image(
     ok = mask & (ring >= 0) & (ring < n_rings)
     flat_idx = jnp.where(ok, ring * n_azimuth + col, n_rings * n_azimuth)
 
-    # nearest-return collision resolution: scatter-min ranges, then points
-    # whose range equals the cell minimum win the write.
-    inf = jnp.full((n_rings * n_azimuth + 1,), jnp.inf, jnp.float32)
-    cell_min = inf.at[flat_idx].min(jnp.where(ok, rng, jnp.inf))
-    winner = ok & (rng <= cell_min[flat_idx] + 1e-6)
-    img = jnp.full((n_rings * n_azimuth + 1, 3), SENTINEL, jnp.float32)
-    img = img.at[jnp.where(winner, flat_idx, n_rings * n_azimuth)].set(
-        jnp.where(winner[:, None], xyz, SENTINEL), mode="drop"
-    )
-    valid = jnp.zeros((n_rings * n_azimuth + 1,), bool).at[flat_idx].max(winner)
+    # nearest-return collision resolution with ONE scatter (scatters cost
+    # ~ms each at this size): pack (quantized range << 17 | point index) into
+    # an int32 and scatter-min — the winner's index decodes from the minimum.
+    n = xyz.shape[0]
+    if n > (1 << 17):
+        raise ValueError(f"point capacity {n} exceeds the 17-bit winner-index pack")
+    rq = jnp.clip((rng * 100.0).astype(jnp.int32), 0, (1 << 14) - 1)  # 1 cm steps
+    packed = jnp.where(ok, (rq << 17) | jnp.arange(n, dtype=jnp.int32), jnp.int32(2**30))
+    best = jnp.full((n_rings * n_azimuth + 1,), jnp.int32(2**30))
+    best = best.at[flat_idx].min(packed)
+    best = best[:-1]
+    valid = best < 2**30
+    win_idx = jnp.where(valid, best & ((1 << 17) - 1), 0)
+    img = jnp.where(valid[:, None], xyz[win_idx], SENTINEL)  # one gather
     return (
-        img[:-1].reshape(n_rings, n_azimuth, 3),
-        valid[:-1].reshape(n_rings, n_azimuth),
+        img.reshape(n_rings, n_azimuth, 3),
+        valid.reshape(n_rings, n_azimuth),
     )
 
 

@@ -29,7 +29,7 @@ from lv_slam_tpu.core import se3
 from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
 from lv_slam_tpu.lfa import registration as reg
 from lv_slam_tpu.lfa.features import FeatureClouds, extract_features
-from lv_slam_tpu.ops.knn import KnnGrid, build_grid
+from lv_slam_tpu.ops.knn import KnnGrid, build_cell_table, build_grid
 from lv_slam_tpu.ops.prefilter import voxel_downsample
 
 
@@ -119,11 +119,13 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float = 300
             new_last_rel = rel
 
         # scan-to-map: seed = previous refined pose composed with the
-        # odometry increment (A-LOAM's transformAssociateToMap)
+        # odometry increment (A-LOAM's transformAssociateToMap). Map k-NN
+        # uses the bucket-table (cell 2.0 covers the 1.0 m fit gates with
+        # the 8-cell probe — one gather per query batch).
         rel_map = se3.inverse(state.last_odom) @ odom
         guess = state.map_pose @ rel_map
-        edge_grid = build_grid(state.edge_map, state.edge_mask, 1.0)
-        surf_grid = build_grid(state.surf_map, state.surf_mask, 1.0)
+        edge_grid = build_cell_table(state.edge_map, state.edge_mask, 2.0)
+        surf_grid = build_cell_table(state.surf_map, state.surf_mask, 2.0)
         t = guess
         for _ in range(2):
             ye = se3.transform_points(t, feats.less_sharp)

@@ -24,7 +24,7 @@ from lv_slam_tpu.core import se3
 from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
 from lv_slam_tpu.lfa import registration as reg
 from lv_slam_tpu.lfa.features import FeatureClouds
-from lv_slam_tpu.ops.knn import build_grid
+from lv_slam_tpu.ops.knn import build_cell_table
 from lv_slam_tpu.ops.prefilter import voxel_downsample
 
 
@@ -80,8 +80,9 @@ class FeatureMapping:
         self._pose = np.eye(4)
         self._last_odom = np.eye(4)
         self._initialized = False
-        self._build_edge_grid = jax.jit(functools.partial(build_grid, cell_size=1.0))
-        self._build_surf_grid = jax.jit(functools.partial(build_grid, cell_size=1.0))
+        # bucket-table k-NN (cell 2.0 covers the 1.0 m fit gates), same
+        # structure as the device-resident lfa/fused.py path
+        self._build_table = jax.jit(functools.partial(build_cell_table, cell_size=2.0))
         self._transform = jax.jit(se3.transform_points)
         self._count = 0
 
@@ -101,8 +102,8 @@ class FeatureMapping:
         self._last_odom = odom.copy()
 
         if self._initialized and self._count % max(cfg.mapping_skip_frame, 1) == 0:
-            edge_grid = self._build_edge_grid(self._edge_map, self._edge_mask)
-            surf_grid = self._build_surf_grid(self._surf_map, self._surf_mask)
+            edge_grid = self._build_table(self._edge_map, self._edge_mask)
+            surf_grid = self._build_table(self._surf_map, self._surf_mask)
             refined, n_e, n_s = _map_step(
                 jnp.asarray(guess, jnp.float32),
                 feats.less_sharp, feats.less_sharp_mask,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from lv_slam_tpu.core import se3
-from lv_slam_tpu.ops.knn import KnnGrid, knn
+from lv_slam_tpu.ops.knn import KnnGrid, knn, knn_any
 
 _DIST_SQ_THRESH = 25.0  # correspondence gate, matches A-LOAM's 25 m^2
 
@@ -55,11 +55,12 @@ def lines_from_2nn(y: jax.Array, mask: jax.Array, grid: KnnGrid) -> LineField:
     return LineField(mu=a, v=v, valid=ok)
 
 
-def lines_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) -> LineField:
+def lines_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> LineField:
     """Mapping-style: eigen-fit a line to the k nearest map edge points;
     accept when the scatter is strongly linear (lambda_max >= 3 * lambda_mid,
-    A-LOAM's laserMapping criterion)."""
-    dists, pts, valid = knn(grid, y, k=k)
+    A-LOAM's laserMapping criterion). `grid` may be a sorted KnnGrid or the
+    bucket-table CellTable (the device-resident mapping path)."""
+    dists, pts, valid = knn_any(grid, y, k=k)
     w = valid.astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     mu = jnp.sum(pts * w[..., None], axis=1) / cnt[:, None]
@@ -95,11 +96,11 @@ def planes_from_3nn(y: jax.Array, mask: jax.Array, grid: KnnGrid) -> PlaneField:
     return PlaneField(n=n_hat, d=d, valid=ok)
 
 
-def planes_from_fit(y: jax.Array, mask: jax.Array, grid: KnnGrid, k: int = 5) -> PlaneField:
+def planes_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> PlaneField:
     """Mapping-style: least-squares plane through the k nearest map surf
     points (A-LOAM solves A n = -1); accept when all k points lie within
     0.2 m of the fit."""
-    dists, pts, valid = knn(grid, y, k=k)
+    dists, pts, valid = knn_any(grid, y, k=k)
     w = valid.astype(jnp.float32)
     # A-LOAM solves A n = -1 on raw coordinates; at ~100 m ranges that is
     # hopelessly ill-conditioned in float32 (cond ~ |p|^2 / spread^2). The

@@ -52,6 +52,106 @@ def build_grid(xyz: jax.Array, mask: jax.Array, cell_size: float) -> KnnGrid:
     return KnnGrid(keys=keys[order], xyz=xyz[order], origin_cell=origin, cell_size=cs)
 
 
+# ---------------------------------------------------------------------------
+# bucket-table variant: O(1) gathers per query batch
+# ---------------------------------------------------------------------------
+#
+# Measured v5e cost model: gathers cost ~0.5 ms per 65k INDICES regardless of
+# row width, and `searchsorted` lowers to log2(n) serial gather rounds. The
+# sorted-grid `knn` above therefore pays ~16 gather rounds (searchsorted) plus
+# 27-cell x slots candidate gathers per query batch. This variant stores each
+# cell's first S points DIRECTLY in a hashed (B, S, 4) bucket table, so a
+# query batch costs ONE row gather over 8 probe cells:
+# - 8-cell probe: the 2x2x2 cell block around (q - cell/2) covers every point
+#   within cell_size/2 of the query — pick cell_size = 2 * search radius.
+# - hash collisions (two cells sharing a bucket) mix candidates; wrong-cell
+#   points fail the caller's radius gate, so collisions only cost recall in
+#   the ~few % of colliding cells.
+
+_OFF8 = jnp.asarray(
+    [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.int32
+)
+_H1, _H2, _H3 = 73856093, 19349669, 83492791  # classic spatial-hash primes
+
+
+class CellTable(NamedTuple):
+    table: jax.Array      # (B, S*4): S slots of [x, y, z, valid]
+    cell_size: jax.Array  # ()
+
+    @property
+    def slots(self) -> int:
+        return self.table.shape[1] // 4
+
+
+def _bucket(coords: jax.Array, n_buckets: int) -> jax.Array:
+    h = (
+        coords[..., 0] * _H1 ^ coords[..., 1] * _H2 ^ coords[..., 2] * _H3
+    ).astype(jnp.uint32)
+    return (h % jnp.uint32(n_buckets)).astype(jnp.int32)
+
+
+def build_cell_table(
+    xyz: jax.Array,
+    mask: jax.Array,
+    cell_size: float,
+    n_buckets: int = 2**18,
+    slots: int = 8,
+) -> CellTable:
+    """xyz (N,3), mask (N,) -> hashed bucket table. Jittable.
+
+    One sort (bucket ids), one packed gather, one scatter."""
+    n = xyz.shape[0]
+    cs = jnp.float32(cell_size)
+    coords = jnp.floor(xyz / cs).astype(jnp.int32)
+    b = jnp.where(mask, _bucket(coords, n_buckets), jnp.int32(n_buckets))
+    order = jnp.argsort(b)
+    sb = b[order]
+    packed = jnp.concatenate(
+        [xyz, mask[:, None].astype(jnp.float32)], axis=1
+    )[order]                                              # one gather (N,4)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(new_seg, idx, 0))
+    rank = idx - seg_start
+    ok = (packed[:, 3] > 0.5) & (rank < slots) & (sb < n_buckets)
+    dest = jnp.where(ok, sb * slots + rank, n_buckets * slots)
+    rows = jnp.concatenate([packed[:, :3], ok[:, None].astype(jnp.float32)], axis=1)
+    table = jnp.zeros((n_buckets * slots, 4), jnp.float32)
+    table = table.at[dest].set(rows, mode="drop")         # one scatter
+    return CellTable(table=table.reshape(n_buckets, slots * 4), cell_size=cs)
+
+
+def knn_cell(
+    table: CellTable, queries: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """For each query (Q,3): (dists (Q,k), points (Q,k,3), valid (Q,k)).
+    Complete for neighbors within cell_size/2 of the query (8-cell probe)."""
+    n_buckets = table.table.shape[0]
+    s = table.slots
+    cs = table.cell_size
+    base = jnp.floor((queries - cs / 2.0) / cs).astype(jnp.int32)  # (Q,3)
+    cells = base[:, None, :] + _OFF8[None, :, :]                   # (Q,8,3)
+    b = _bucket(cells, n_buckets)                                  # (Q,8)
+    rows = table.table[b]                                          # ONE gather
+    q = queries.shape[0]
+    cand = rows.reshape(q, 8 * s, 4)
+    ok = cand[..., 3] > 0.5
+    d2 = jnp.sum((queries[:, None, :] - cand[..., :3]) ** 2, axis=-1)
+    d2 = jnp.where(ok, d2, jnp.inf)
+    neg, top_idx = jax.lax.top_k(-d2, k)
+    dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    points = jnp.take_along_axis(cand[..., :3], top_idx[..., None], axis=1)
+    valid = jnp.isfinite(dists)
+    return dists, points, valid
+
+
+def knn_any(grid, queries: jax.Array, k: int):
+    """Dispatch on the structure type (trace-time isinstance)."""
+    if isinstance(grid, CellTable):
+        return knn_cell(grid, queries, k)
+    return knn(grid, queries, k)
+
+
 def knn(
     grid: KnnGrid,
     queries: jax.Array,

@@ -84,6 +84,12 @@ def to_hash(vmap_: VoxelMap, buckets_per_leaf: int = 4) -> HashVoxelMap:
     n_dropped = jnp.sum((loser & ~is_second).astype(jnp.int32))
 
     c = vmap_.icovs
+    # Embedded-key bitcast safety on TPU: the hardware canonicalizes NaN bit
+    # patterns during data movement. Valid keys are in [0, extent^3) — far
+    # below the first NaN pattern (0x7F800001) — so they survive bit-exact.
+    # The -1 empty marker IS a NaN pattern; canonicalization maps it to
+    # 0x7FC00000 = 2143289344, which still never equals a valid query key,
+    # so empty slots stay misses. (Do NOT embed arbitrary negative keys.)
     key_f = jax.lax.bitcast_convert_type(key, jnp.float32)
     packed = jnp.concatenate(
         [

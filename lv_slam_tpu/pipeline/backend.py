@@ -51,7 +51,10 @@ class GlobalGraph:
         self.tr = np.eye(4) if calib_tr is None else np.asarray(calib_tr, np.float64)
         self.keyframe_cloud_cap = keyframe_cloud_cap
 
-        self.graph = pg.empty_graph(self.cfg.keyframe_cap, self.cfg.edge_cap)
+        self.graph = pg.empty_graph(
+            self.cfg.keyframe_cap, self.cfg.edge_cap, self.cfg.prior_cap,
+            self.cfg.plane_cap, self.cfg.sp_edge_cap, self.cfg.plane_edge_cap,
+        )
         self.updater = KeyframeUpdater(self.cfg.keyframe_delta_trans, self.cfg.keyframe_delta_angle)
         self.loop_detector = LoopDetector(self.loop_cfg, vocabulary=vocabulary)
 
@@ -132,21 +135,18 @@ class GlobalGraph:
         target = 1
         while target < w:
             target *= 2
-        xyz = jnp.stack(
-            [c.xyz for c, _ in self._w_parts]
-            + [self._w_parts[0][0].xyz] * (target - w)
-        )
-        inten = jnp.stack(
-            [c.intensity for c, _ in self._w_parts]
-            + [self._w_parts[0][0].intensity] * (target - w)
-        )
-        mask_rows = [c.mask for c, _ in self._w_parts]
-        mask_rows += [jnp.zeros_like(mask_rows[0])] * (target - w)
-        mask = jnp.stack(mask_rows)
+        pad = self._w_parts[0][0]
+        xyzs = tuple(c.xyz for c, _ in self._w_parts) + (pad.xyz,) * (target - w)
+        intens = tuple(c.intensity for c, _ in self._w_parts) + (pad.intensity,) * (target - w)
+        zero_mask = None
+        masks = tuple(c.mask for c, _ in self._w_parts)
+        if target > w:
+            zero_mask = jnp.zeros_like(pad.mask)
+            masks = masks + (zero_mask,) * (target - w)
         rels = np.stack(
             [rel for _, rel in self._w_parts] + [np.eye(4)] * (target - w)
         ).astype(np.float32)
-        downsampled = self._window_flush(xyz, inten, mask, jnp.asarray(rels))
+        downsampled = self._window_flush(xyzs, intens, masks, jnp.asarray(rels))
         descriptor = keypoints = None
         if self._w_image is not None:
             descriptor, keypoints = self._extract_orb(self._w_image)
@@ -470,7 +470,8 @@ def load_dump(
     backend = GlobalGraph(cfg, loop_cfg, keyframe_cloud_cap=keyframe_cloud_cap)
     g = backend.cfg
     backend.graph = g2o_io.load_graph(
-        os.path.join(directory, "graph.g2o"), g.keyframe_cap, g.edge_cap
+        os.path.join(directory, "graph.g2o"), g.keyframe_cap, g.edge_cap,
+        g.prior_cap, g.plane_cap, g.sp_edge_cap, g.plane_edge_cap,
     )
     backend._n_edges = int(np.asarray(backend.graph.e_valid).sum())
     backend._n_nodes = int(np.asarray(backend.graph.node_valid).sum())

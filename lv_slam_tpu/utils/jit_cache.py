@@ -31,15 +31,19 @@ def transform_cloud_fn():
 @functools.lru_cache(maxsize=32)
 def window_flush_fn(resolution: float, out_cap: int):
     """Motion-compose a whole keyframe window and voxel-downsample it in ONE
-    device program: (W,cap,3) points x (W,4,4) window-relative transforms ->
-    downsampled PointCloud. Replaces per-part transform dispatches (the
-    backend's per-keyframe host chatter through the remote-TPU relay)."""
+    device program: tuples of per-scan (cap,3)/(cap,) arrays + (W,4,4)
+    window-relative transforms -> downsampled PointCloud. Stacking happens
+    inside the jit so each keyframe costs exactly one dispatch through the
+    remote-TPU relay."""
     import jax.numpy as jnp
 
     from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
 
     @jax.jit
-    def run(xyz, inten, mask, rels):
+    def run(xyzs, intens, masks, rels):
+        xyz = jnp.stack(xyzs)
+        inten = jnp.stack(intens)
+        mask = jnp.stack(masks)
         moved = (
             jnp.einsum("wij,wnj->wni", rels[:, :3, :3], xyz)
             + rels[:, None, :3, 3]
