@@ -140,6 +140,16 @@ def main():
             times.append(time.perf_counter() - t0)
         elapsed = min(times)
         timed = n_scans
+        if mode == "full":
+            # the LFA-on/off delta: time one dlo+ggo pass (already warm)
+            off = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                odom_np = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg))
+                run_ggo(odom_np)
+                off.append(time.perf_counter() - t0)
+            extra["dlo_ggo_scans_per_sec"] = round(n_scans / min(off), 2)
+            extra["lfa_ms_per_scan"] = round((elapsed - min(off)) / n_scans * 1000.0, 2)
     else:
         from lv_slam_tpu.odometry.dlo import DirectLidarOdometry
 

@@ -49,12 +49,16 @@ class Loop:
 @functools.lru_cache(maxsize=16)
 def _batched_align_fn(resolution: float, neighborhood: str):
     from lv_slam_tpu.core.cloud import PointCloud as PC
-    from lv_slam_tpu.ops.ndt_soa import ndt_align_soa
+    from lv_slam_tpu.ops.ndt_hash import ndt_align_hash_table, to_hash
 
     def run(target_map, xyz, inten, mask, guesses):
+        # hash path: one gather per DIRECT7 offset (2.4x the LUT pass);
+        # the conversion is shared across the whole candidate batch
+        hmap = to_hash(target_map)
+
         def one(x, it, m, g):
-            return ndt_align_soa(
-                target_map, PC(x, it, m), g,
+            return ndt_align_hash_table(
+                hmap, PC(x, it, m), g,
                 resolution=resolution, transformation_epsilon=0.01,
                 max_iterations=64, neighborhood=neighborhood, weighted=False,
             ).transform
@@ -92,19 +96,12 @@ class LoopDetector:
         self.vocabulary = vocabulary  # optional graph/bow.Vocabulary
         self.last_edge_accum_distance = 0.0
         c = self.cfg
-        from lv_slam_tpu.utils.jit_cache import build_map_fn, ndt_align_fn
+        from lv_slam_tpu.utils.jit_cache import build_map_fn
 
         # coarse-to-fine ladder: e.g. (4.0, 2.0, 1.0); see LoopDetectorConfig
         self._resolutions = tuple(c.multiscale) + (c.ndt_resolution,)
         self._builds = {
             r: build_map_fn(r, leaf_cap, lut_extent) for r in self._resolutions
-        }
-        self._aligns = {
-            r: ndt_align_fn(
-                r, transformation_epsilon=0.01, max_iterations=64,
-                neighborhood=c.ndt_neighborhood,
-            )
-            for r in self._resolutions
         }
 
     # -- gating (host; cheap over <= keyframe_cap entries) -------------------

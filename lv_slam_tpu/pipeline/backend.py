@@ -211,7 +211,8 @@ class GlobalGraph:
         )
         poses = np.asarray(result.poses, np.float64)
         self.graph.poses[:] = poses.astype(np.float32)  # host arrays, in place
-        self.graph.planes[:] = np.asarray(result.planes, np.float32)
+        if self._n_planes:  # each fetch costs a relay round trip
+            self.graph.planes[:] = np.asarray(result.planes, np.float32)
         for kf in self.keyframes:
             kf.estimate = poses[kf.node_id]
 
