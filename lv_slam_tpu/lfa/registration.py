@@ -4,9 +4,9 @@ The LM solvers behind A-LOAM's `alaserOdometry` (scan-to-scan, 2-point lines
 and 3-point planes from the previous scan's features) and `alaserMapping`
 (scan-to-map, line/plane fits to the 5 nearest map features), rebuilt as
 batched GN: correspondences come from `ops/knn` grid queries, residual
-Jacobians from forward-mode autodiff of the left-perturbed residual, and the
-6x6 normal equations from masked reductions — one jitted program per
-(rounds, iters) configuration.
+Jacobians are closed-form in the left se(3) perturbation (see `gn_solve`),
+and the 6x6 normal equations come from masked reductions — one jitted
+program per (rounds, iters) configuration.
 """
 
 from __future__ import annotations
@@ -130,25 +130,6 @@ def planes_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> PlaneFie
 # ---------------------------------------------------------------------------
 
 
-def _residuals(delta, transform, edges, lines: LineField, surfs, planes: PlaneField):
-    t = se3.exp_se3(delta) @ transform
-    # Zero invalid lanes BEFORE the nonlinear ops: padded sentinel points
-    # (~1e6) overflow float32 in the squared terms, and the resulting
-    # inf/nan poisons the whole J^T J reduction even at weight 0.
-    e_pts = jnp.where(lines.valid[:, None], edges, 0.0)
-    mu = jnp.where(lines.valid[:, None], lines.mu, 0.0)
-    ye = se3.transform_points(t, e_pts)
-    diff = ye - mu
-    cross = jnp.cross(diff, lines.v)
-    # eps inside the sqrt keeps the gradient finite at exactly-on-line points
-    r_edge = jnp.sqrt(jnp.sum(cross * cross, axis=1) + 1e-12)
-    s_pts = jnp.where(planes.valid[:, None], surfs, 0.0)
-    d = jnp.where(planes.valid, jnp.clip(planes.d, -1e4, 1e4), 0.0)
-    ys = se3.transform_points(t, s_pts)
-    r_surf = jnp.sum(ys * planes.n, axis=1) + d
-    return r_edge, r_surf
-
-
 def gn_solve(
     transform: jax.Array,
     edges: jax.Array,
@@ -157,17 +138,42 @@ def gn_solve(
     planes: PlaneField,
     iters: int,
 ) -> jax.Array:
-    """GN iterations on frozen correspondences; returns the updated (4,4)."""
+    """GN iterations on frozen correspondences; returns the updated (4,4).
+
+    Jacobians are closed-form w.r.t. the left perturbation `exp(d) T` with
+    tangent [rho, phi] (exp(d) y ~ y + rho + phi x y at d = 0):
+    - point-to-plane r = n.y + d  ->  J = [n, y x n]
+    - point-to-line  r = |(y - mu) x v|  ->  dr/dy = v x (c / r) with
+      c = (y - mu) x v, so J = [g, y x g].
+    Identical matrices to forward-mode autodiff of the residual (which this
+    replaced), at ~1/7 the arithmetic — the residual re-evaluates once per
+    iteration instead of once per tangent basis vector.
+    """
+    # Zero invalid lanes BEFORE the nonlinear ops: padded sentinel points
+    # (~1e6) overflow float32 in the squared terms, and inf/nan would poison
+    # the whole J^T J reduction even at weight 0.
+    e_pts = jnp.where(lines.valid[:, None], edges, 0.0)
+    mu = jnp.where(lines.valid[:, None], lines.mu, 0.0)
+    w_e = lines.valid.astype(jnp.float32)
+    s_pts = jnp.where(planes.valid[:, None], surfs, 0.0)
+    d = jnp.where(planes.valid, jnp.clip(planes.d, -1e4, 1e4), 0.0)
+    w_s = planes.valid.astype(jnp.float32)
 
     def body(_, t):
-        def res_fn(delta):
-            r_e, r_s = _residuals(delta, t, edges, lines, surfs, planes)
-            return jnp.concatenate([r_e, r_s])
+        ye = se3.transform_points(t, e_pts)
+        diff = ye - mu
+        c = jnp.cross(diff, lines.v)
+        r_e = jnp.sqrt(jnp.sum(c * c, axis=1) + 1e-12)
+        g_e = jnp.cross(lines.v, c / r_e[:, None])
+        j_e = jnp.concatenate([g_e, jnp.cross(ye, g_e)], axis=1)  # (Ne,6)
 
-        zero = jnp.zeros(6, jnp.float32)
-        r = res_fn(zero)
-        jac = jax.jacfwd(res_fn)(zero)  # (Ne+Ns, 6)
-        w = jnp.concatenate([lines.valid, planes.valid]).astype(jnp.float32)
+        ys = se3.transform_points(t, s_pts)
+        r_s = jnp.sum(ys * planes.n, axis=1) + d
+        j_s = jnp.concatenate([planes.n, jnp.cross(ys, planes.n)], axis=1)
+
+        r = jnp.concatenate([r_e, r_s])
+        jac = jnp.concatenate([j_e, j_s], axis=0)
+        w = jnp.concatenate([w_e, w_s])
         # Huber-style clamp on outlier residuals (A-LOAM uses Huber(0.1))
         huber = jnp.where(jnp.abs(r) > 0.1, 0.1 / jnp.maximum(jnp.abs(r), 1e-9), 1.0)
         w = w * huber

@@ -94,13 +94,20 @@ def build_cell_table(
     xyz: jax.Array,
     mask: jax.Array,
     cell_size: float,
-    n_buckets: int = 2**18,
+    n_buckets: int | None = None,
     slots: int = 8,
 ) -> CellTable:
     """xyz (N,3), mask (N,) -> hashed bucket table. Jittable.
 
-    One sort (bucket ids), one packed gather, one scatter."""
+    One sort (bucket ids), one packed gather, one scatter. Scatter cost on
+    TPU scales with the TABLE size, so `n_buckets` defaults to ~2N (clamped
+    to [2^12, 2^18]): feature maps occupy far fewer cells than points (they
+    are voxel-deduped well below the cell size), keeping collisions at a few
+    percent. Pass n_buckets explicitly for point sets that are sparse
+    relative to the cell size."""
     n = xyz.shape[0]
+    if n_buckets is None:
+        n_buckets = 1 << max(12, min(18, (2 * n - 1).bit_length()))
     cs = jnp.float32(cell_size)
     coords = jnp.floor(xyz / cs).astype(jnp.int32)
     b = jnp.where(mask, _bucket(coords, n_buckets), jnp.int32(n_buckets))
