@@ -30,7 +30,7 @@ from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
 from lv_slam_tpu.lfa import registration as reg
 from lv_slam_tpu.lfa.features import FeatureClouds, extract_features
 from lv_slam_tpu.ops.knn import KnnGrid, build_cell_table, build_grid
-from lv_slam_tpu.ops.prefilter import voxel_downsample
+from lv_slam_tpu.ops.prefilter import voxel_dedup_first
 
 
 class LfaFusedState(NamedTuple):
@@ -52,11 +52,14 @@ def _extract(xyz, mask, cfg: LfaConfig) -> FeatureClouds:
 
 
 def _merge(map_xyz, map_mask, new_xyz, new_mask, resolution: float):
+    # dedup-first (map points win over incoming duplicates): both sides are
+    # already voxel-spaced at this resolution, so this matches A-LOAM's
+    # re-voxelization to within the voxel radius at ~1/3 the cost
     cap = map_xyz.shape[0]
     xyz = jnp.concatenate([map_xyz, new_xyz], axis=0)
     mask = jnp.concatenate([map_mask, new_mask], axis=0)
     cloud = PointCloud(jnp.where(mask[:, None], xyz, SENTINEL), jnp.zeros(xyz.shape[0]), mask)
-    out = voxel_downsample(cloud, resolution, cap)
+    out = voxel_dedup_first(cloud, resolution, cap)
     return out.xyz, out.mask
 
 

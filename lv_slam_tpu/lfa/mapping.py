@@ -25,7 +25,7 @@ from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
 from lv_slam_tpu.lfa import registration as reg
 from lv_slam_tpu.lfa.features import FeatureClouds
 from lv_slam_tpu.ops.knn import build_cell_table
-from lv_slam_tpu.ops.prefilter import voxel_downsample
+from lv_slam_tpu.ops.prefilter import voxel_dedup_first
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8))
@@ -51,12 +51,13 @@ def _map_step(
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _merge_map(map_xyz, map_mask, new_xyz, new_mask, resolution: float):
-    """Concatenate + voxel-dedup back into the fixed-capacity buffer."""
+    """Concatenate + voxel-dedup back into the fixed-capacity buffer
+    (dedup-first, matching the device-resident `lfa/fused.py` merge)."""
     cap = map_xyz.shape[0]
     xyz = jnp.concatenate([map_xyz, new_xyz], axis=0)
     mask = jnp.concatenate([map_mask, new_mask], axis=0)
     cloud = PointCloud(jnp.where(mask[:, None], xyz, SENTINEL), jnp.zeros(xyz.shape[0]), mask)
-    out = voxel_downsample(cloud, resolution, cap)
+    out = voxel_dedup_first(cloud, resolution, cap)
     return out.xyz, out.mask
 
 

@@ -122,6 +122,50 @@ def voxel_downsample(
     return out.compact(out_cap)
 
 
+def voxel_dedup_first(cloud: PointCloud, resolution: float, out_cap: int) -> PointCloud:
+    """Keep the FIRST point of each occupied voxel (dedup, not centroid).
+
+    The cheapest dedup expressible on this TPU: ONE multi-key `lax.sort`
+    that carries the permutation through the sort network (so no
+    million-index gather to reorder columns), run-start detection, and an
+    out_cap-bounded compaction — no segment reduction and no scatter (both
+    cost ~20 ms at million-row window sizes; this is ~6 ms).
+
+    Used where the inputs are already voxel-centroided at the same
+    resolution (keyframe window flush over prefiltered scans, LFA feature
+    map merges over downsampled features): there dedup-first differs from
+    re-centroiding by at most the voxel radius on the few cross-part
+    duplicates.
+    """
+    n = cloud.cap
+    res = jnp.float32(resolution)
+    xyz = cloud.masked_xyz()
+    mask = cloud.mask
+    coords = jnp.floor(xyz / res).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    kx = jnp.where(mask, coords[:, 0], big)
+    skx, sky, skz, perm = jax.lax.sort(
+        (kx, coords[:, 1], coords[:, 2], jnp.arange(n, dtype=jnp.int32)),
+        num_keys=3,
+    )
+    new_seg = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (skx[1:] != skx[:-1]) | (sky[1:] != sky[:-1]) | (skz[1:] != skz[:-1]),
+        ]
+    )
+    winner = new_seg & (skx < big)
+    sel = jnp.argsort(~winner, stable=True)[:out_cap]
+    src = perm[sel]
+    packed = jnp.concatenate([xyz, cloud.intensity[:, None]], axis=1)[src]
+    ok = winner[sel]
+    return PointCloud(
+        jnp.where(ok[:, None], packed[:, :3], SENTINEL),
+        jnp.where(ok, packed[:, 3], 0.0),
+        ok,
+    )
+
+
 def prefilter(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
     """Full prefiltering chain (`prefiltering_nodelet.cpp:92-135`)."""
     out = cloud

@@ -35,6 +35,27 @@ def test_cell_table_matches_brute_force(rng):
                 assert nearest < 1e-4
 
 
+def test_voxel_dedup_first(rng):
+    """Sort-only dedup: one point per occupied voxel, first-in-order wins."""
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import voxel_dedup_first
+
+    pts = rng.uniform(-8, 8, (4000, 3)).astype(np.float32)
+    pts[2000:] = pts[:2000] + 0.01  # half the cloud duplicates the first half
+    raw = np.concatenate([pts, np.arange(4000, dtype=np.float32)[:, None]], axis=1)
+    cloud = PointCloud.from_numpy(raw, cap=8192)
+    out = voxel_dedup_first(cloud, 1.0, 8192)
+    xyz = np.asarray(out.xyz)[np.asarray(out.mask)]
+    inten = np.asarray(out.intensity)[np.asarray(out.mask)]
+    vox = np.unique(np.floor(pts).astype(np.int32), axis=0)
+    assert xyz.shape[0] == vox.shape[0]
+    got = np.unique(np.floor(xyz).astype(np.int32), axis=0)
+    assert got.shape[0] == xyz.shape[0]  # one representative per voxel
+    # stability: every survivor is a real input point (identified by its
+    # intensity tag), and duplicates resolved to the EARLIER point
+    assert (inten < 2000 + 1e-3).mean() > 0.95
+
+
 def test_cell_table_agrees_with_sorted_grid(rng):
     """Within the shared coverage radius both structures return the same
     nearest neighbor."""
