@@ -185,8 +185,25 @@ def _jitted_lfa_scan(cfg: LfaConfig, external_odom: bool, crop_radius: float):
             st, refined = step(state, x, m, o)
             return st, refined
 
-        _, poses = jax.lax.scan(body, state0, (xyz[1:], mask[1:], odom_poses[1:]))
-        return jnp.concatenate([odom_poses[:1], poses], axis=0)
+        state, poses = jax.lax.scan(body, state0, (xyz[1:], mask[1:], odom_poses[1:]))
+        return state, jnp.concatenate([odom_poses[:1], poses], axis=0)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_lfa_cont(cfg: LfaConfig, external_odom: bool, crop_radius: float):
+    """Continuation program: every scan is a refinement step (chunk 2+)."""
+    _, step = make_lfa_fused(cfg, external_odom, crop_radius)
+
+    @jax.jit
+    def run(state0, xyz, mask, odom_poses):
+        def body(state, inputs):
+            x, m, o = inputs
+            st, refined = step(state, x, m, o)
+            return st, refined
+
+        return jax.lax.scan(body, state0, (xyz, mask, odom_poses))
 
     return run
 
@@ -197,16 +214,26 @@ def run_sequence_lfa(
     cfg: LfaConfig,
     odom_poses: jax.Array | None = None,
     crop_radius: float = 300.0,
+    init_state: LfaFusedState | None = None,
+    return_state: bool = False,
 ):
     """(N,cap,3),(N,cap)[,(N,4,4) dlo odometry] -> (N,4,4) refined poses.
 
     One lax.scan program for the whole sequence. With `odom_poses` the stage
     runs in dlo_lfa mode (mapping refinement seeded by the NDT odometry —
     the flagship topology); without, standalone feature odometry drives it.
+
+    Long sequences chunk like `run_sequence_fused`: pass `return_state=True`
+    and thread the state into the next chunk's `init_state`.
     """
     external = odom_poses is not None
     if odom_poses is None:
         n = xyz.shape[0]
         odom_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))
-    run = _jitted_lfa_scan(cfg, external, crop_radius)
-    return run(xyz, mask, odom_poses)
+    if init_state is None:
+        state, poses = _jitted_lfa_scan(cfg, external, crop_radius)(xyz, mask, odom_poses)
+    else:
+        state, poses = _jitted_lfa_cont(cfg, external, crop_radius)(
+            init_state, xyz, mask, odom_poses
+        )
+    return (poses, state) if return_state else poses

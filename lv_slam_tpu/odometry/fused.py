@@ -209,6 +209,8 @@ def run_sequence_fused(
     prefilter_cfg: PrefilterConfig | None = None,
     with_stats: bool = False,
     use_scan: bool = True,
+    init_state: FusedState | None = None,
+    return_state: bool = False,
 ):
     """(N,cap,3), (N,cap), (N,) -> (N,4,4) poses.
 
@@ -218,37 +220,49 @@ def run_sequence_fused(
     same math). Historical note: lax.scan was initially ~30x slower because
     the keyframe-rebuild conditional executed an iterative `eigh` in both
     branches; the analytic 3x3 eigensolver removed that wall.
+
+    Chunked sequences (long KITTI runs that should not materialize as one
+    (N,cap,3) array): pass `return_state=True` and feed the returned state
+    back as `init_state` for the next chunk — with `init_state` set, ALL N
+    scans are odometry steps (no scan-0 map init) and chunked results equal
+    the unchunked run exactly.
     """
     if not use_scan:
         jinit, jstep = _jitted_step_cache(cfg, prefilter_cfg)
         n, cap = xyz.shape[0], xyz.shape[1]
         zeros_i = jnp.zeros((cap,), jnp.float32)
-        state = jinit(PointCloud(xyz[0], zeros_i, mask[0]), stamps[0])
-        poses = [jnp.eye(4, dtype=jnp.float32)]
-        iters = [jnp.int32(0)]
-        switches = [jnp.bool_(False)]
-        for i in range(1, n):
+        if init_state is None:
+            state = jinit(PointCloud(xyz[0], zeros_i, mask[0]), stamps[0])
+            poses = [jnp.eye(4, dtype=jnp.float32)]
+            iters = [jnp.int32(0)]
+            switches = [jnp.bool_(False)]
+            start = 1
+        else:
+            state = init_state
+            poses, iters, switches = [], [], []
+            start = 0
+        for i in range(start, n):
             cloud = PointCloud(xyz[i], zeros_i, mask[i])
             state, (pose, it, sw) = jstep(state, cloud, stamps[i])
             poses.append(pose)
             iters.append(it)
             switches.append(sw)
         out_poses = jnp.stack(poses)
-        if with_stats:
-            return out_poses, jnp.stack(iters), jnp.stack(switches)
-        return out_poses
+        out = (out_poses, jnp.stack(iters), jnp.stack(switches)) if with_stats else out_poses
+        return (out, state) if return_state else out
 
-    run = _jitted_scan_cache(cfg, prefilter_cfg)
-    poses, iters, switches = run(xyz, mask, stamps)
-    eye = jnp.eye(4, dtype=jnp.float32)[None]
-    out_poses = jnp.concatenate([eye, poses], axis=0)
-    if with_stats:
-        return (
-            out_poses,
-            jnp.concatenate([jnp.zeros(1, jnp.int32), iters]),
-            jnp.concatenate([jnp.zeros(1, bool), switches]),
-        )
-    return out_poses
+    if init_state is None:
+        run = _jitted_scan_cache(cfg, prefilter_cfg)
+        state, (poses, iters, switches) = run(xyz, mask, stamps)
+        eye = jnp.eye(4, dtype=jnp.float32)[None]
+        out_poses = jnp.concatenate([eye, poses], axis=0)
+        iters = jnp.concatenate([jnp.zeros(1, jnp.int32), iters])
+        switches = jnp.concatenate([jnp.zeros(1, bool), switches])
+    else:
+        run = _jitted_scan_cont_cache(cfg, prefilter_cfg)
+        state, (out_poses, iters, switches) = run(init_state, xyz, mask, stamps)
+    out = (out_poses, iters, switches) if with_stats else out_poses
+    return (out, state) if return_state else out
 
 
 @functools.lru_cache(maxsize=16)
@@ -264,9 +278,23 @@ def _jitted_scan_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | Non
             st, out = step(state, PointCloud(x, jnp.zeros(x.shape[0]), m), t)
             return st, out
 
-        _, (poses, iters, switches) = jax.lax.scan(
-            body, state0, (xyz[1:], mask[1:], stamps[1:])
-        )
-        return poses, iters, switches
+        return jax.lax.scan(body, state0, (xyz[1:], mask[1:], stamps[1:]))
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_scan_cont_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
+    """Continuation program: every scan is an odometry step (chunk 2+)."""
+    _, step = make_fused_step(cfg, prefilter_cfg)
+
+    @jax.jit
+    def run(state0, xyz, mask, stamps):
+        def body(state, inputs):
+            x, m, t = inputs
+            st, out = step(state, PointCloud(x, jnp.zeros(x.shape[0]), m), t)
+            return st, out
+
+        return jax.lax.scan(body, state0, (xyz, mask, stamps))
 
     return run

@@ -19,6 +19,70 @@ import time
 import numpy as np
 
 
+def _run_fused(scan_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
+    """Chunked device-resident pipeline: the dlo and lfa lax.scan programs
+    process `chunk` scans per dispatch, threading their carry state between
+    chunks (exact equality with the unchunked run); the global graph consumes
+    the refined poses on the host as usual."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu import native
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+    from lv_slam_tpu.odometry.fused import run_sequence_fused
+    from lv_slam_tpu.pipeline.backend import GlobalGraph
+
+    tr_mat = np.eye(4)
+    tr_mat[:3, :4] = tr[:3, :4]
+    backend = GlobalGraph(cfg.graph, cfg.loop, calib_tr=tr_mat, vocabulary=vocabulary)
+    cap = cfg.prefilter.raw_cap
+    odo_state = lfa_state = None
+    poses = []
+    seq = 0
+    t0 = time.perf_counter()
+
+    def flush(buf):
+        nonlocal odo_state, lfa_state, seq
+        clouds = [PointCloud.from_numpy(s, cap=cap) for s in buf]
+        xyz = jnp.stack([c.xyz for c in clouds])
+        mask = jnp.stack([c.mask for c in clouds])
+        stamps = (jnp.arange(len(buf), dtype=jnp.float32) + seq) * 0.1
+        odom, odo_state = run_sequence_fused(
+            xyz, mask, stamps, cfg.odometry, cfg.prefilter,
+            init_state=odo_state, return_state=True,
+        )
+        if use_lfa and cfg.lfa is not None:
+            refined, lfa_state = run_sequence_lfa(
+                xyz, mask, cfg.lfa, odom_poses=odom,
+                init_state=lfa_state, return_state=True,
+            )
+        else:
+            refined = odom
+        refined_np = np.asarray(refined, np.float64)
+        for i, cloud in enumerate(clouds):
+            backend.add_scan(seq + i, (seq + i) * 0.1, refined_np[i], cloud)
+            if (seq + i + 1) % optimize_every == 0:
+                backend.optimize()
+        seq += len(buf)
+        poses.extend(refined_np)
+        rate = seq / (time.perf_counter() - t0)
+        print(f"scan {seq}/{len(scan_files)}  {rate:.1f} scans/s")
+
+    buf = []
+    with native.ScanPrefetcher(scan_files) as prefetcher:
+        for scan in prefetcher:
+            buf.append(scan)
+            if len(buf) == chunk:
+                flush(buf)
+                buf = []
+    if buf:
+        flush(buf)
+    backend.finish()
+    while backend.keyframe_queue:
+        backend.optimize()
+    return poses, backend
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True)
@@ -33,6 +97,13 @@ def main():
         "without it the loop detector trains one on the sequence's own "
         "keyframes (LoopDetectorConfig.auto_train_vocab)",
     )
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="chunked device-resident pipeline: dlo and lfa run as lax.scan "
+        "programs over fixed-size chunks with state threaded between chunks "
+        "(one dispatch per chunk per stage instead of several per scan)",
+    )
+    ap.add_argument("--chunk", type=int, default=64, help="scans per fused chunk")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -54,24 +125,31 @@ def main():
         vocabulary = Vocabulary.load(args.vocab)
 
     cfg = PipelineConfig(calib_tr=tuple(tr[:3, :4].reshape(-1)))
-    slam = LvSlam(
-        cfg, use_lfa=not args.no_lfa, optimize_every=args.optimize_every,
-        vocabulary=vocabulary,
-    )
 
     from lv_slam_tpu import native
 
-    poses = []
     t0 = time.perf_counter()
-    # native prefetcher keeps the device fed (numpy fallback if unbuilt)
-    with native.ScanPrefetcher(scan_files) as prefetcher:
-        for i, scan in enumerate(prefetcher):
-            pose = slam.process(scan, i * 0.1)
-            poses.append(pose)
-            if i % 50 == 0:
-                rate = (i + 1) / (time.perf_counter() - t0)
-                print(f"scan {i}/{len(scan_files)}  {rate:.1f} scans/s")
-    slam.finalize()
+    if args.fused:
+        poses, backend = _run_fused(
+            scan_files, cfg, not args.no_lfa, args.chunk, tr,
+            args.optimize_every, vocabulary,
+        )
+    else:
+        slam = LvSlam(
+            cfg, use_lfa=not args.no_lfa, optimize_every=args.optimize_every,
+            vocabulary=vocabulary,
+        )
+        poses = []
+        # native prefetcher keeps the device fed (numpy fallback if unbuilt)
+        with native.ScanPrefetcher(scan_files) as prefetcher:
+            for i, scan in enumerate(prefetcher):
+                pose = slam.process(scan, i * 0.1)
+                poses.append(pose)
+                if i % 50 == 0:
+                    rate = (i + 1) / (time.perf_counter() - t0)
+                    print(f"scan {i}/{len(scan_files)}  {rate:.1f} scans/s")
+        slam.finalize()
+        backend = slam.backend
 
     out = args.output
     os.makedirs(out, exist_ok=True)
@@ -79,8 +157,8 @@ def main():
         os.path.join(out, f"KITTI_{args.seq}_odom.txt"),
         kitti.velo_to_cam_poses(np.stack(poses), tr),
     )
-    slam.backend.dump(os.path.join(out, "dump"))
-    slam.backend.save_map(os.path.join(out, "map.pcd"), resolution=0.05)
+    backend.dump(os.path.join(out, "dump"))
+    backend.save_map(os.path.join(out, "map.pcd"), resolution=0.05)
     elapsed = time.perf_counter() - t0
     print(f"done: {len(poses)} scans in {elapsed:.1f}s ({len(poses)/elapsed:.1f} scans/s)")
     print(f"outputs in {out}/")

@@ -34,6 +34,46 @@ def test_fused_matches_host_driver(small_sequence):
     assert final_err < 0.25, final_err
 
 
+def test_fused_chunked_matches_unchunked(small_sequence):
+    """State threading across chunks reproduces the single-scan program
+    exactly (odometry AND the LFA refinement)."""
+    scans, gt, _ = small_sequence
+    cap = 32768
+    cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=16384, lut_extent=256))
+    n = len(scans)
+    stamps = jnp.arange(n, dtype=jnp.float32) * 0.1
+    xyz, mask = _stack(scans, cap)
+
+    whole = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg))
+    k = n // 2
+    first, state = run_sequence_fused(
+        xyz[:k], mask[:k], stamps[:k], cfg, return_state=True
+    )
+    second = run_sequence_fused(
+        xyz[k:], mask[k:], stamps[k:], cfg, init_state=state
+    )
+    chunked = np.concatenate([np.asarray(first), np.asarray(second)])
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+    from lv_slam_tpu.config import LfaConfig
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+
+    lfa_cfg = LfaConfig(
+        scan_line=32, edge_cap=2048, planar_cap=4096,
+        map_edge_cap=8192, map_planar_cap=16384,
+    )
+    odom = jnp.asarray(whole)
+    lfa_whole = np.asarray(run_sequence_lfa(xyz, mask, lfa_cfg, odom_poses=odom))
+    lf1, lstate = run_sequence_lfa(
+        xyz[:k], mask[:k], lfa_cfg, odom_poses=odom[:k], return_state=True
+    )
+    lf2 = run_sequence_lfa(
+        xyz[k:], mask[k:], lfa_cfg, odom_poses=odom[k:], init_state=lstate
+    )
+    lfa_chunked = np.concatenate([np.asarray(lf1), np.asarray(lf2)])
+    np.testing.assert_allclose(lfa_chunked, lfa_whole, atol=1e-5)
+
+
 def test_fused_with_prefilter(small_sequence):
     scans, gt, _ = small_sequence
     cap = 32768

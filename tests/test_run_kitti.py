@@ -58,3 +58,31 @@ def test_run_kitti_script(mini_kitti, tmp_path):
     assert err < 0.3, err
     assert os.path.exists(os.path.join(out, "dump", "graph.g2o"))
     assert os.path.exists(os.path.join(out, "map.pcd"))
+
+
+def test_run_kitti_fused_chunked(mini_kitti, tmp_path):
+    """--fused: chunked lax.scan pipeline with state threaded between
+    chunks; chunk=4 over 6 scans exercises the continuation programs."""
+    dataset, gt = mini_kitti
+    out = str(tmp_path / "out_fused")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/lv_slam_jax")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [sys.executable, "scripts/run_kitti.py", "--dataset", dataset,
+         "--seq", "04", "--output", out, "--no-lfa", "--fused", "--chunk", "4",
+         "--optimize-every", "4"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    est_cam = kitti.read_pose_file(os.path.join(out, "KITTI_04_odom.txt"))
+    assert est_cam.shape[0] == 6
+    tr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]])
+    est_velo = np.einsum("ij,njk,kl->nil", np.linalg.inv(tr), est_cam, tr)
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    err = np.linalg.norm(est_velo[-1][:3, 3] - gt_rel[5][:3, 3])
+    assert err < 0.3, err
+    assert os.path.exists(os.path.join(out, "dump", "graph.g2o"))
