@@ -193,6 +193,35 @@ def test_plane_plane_factors(rng):
     assert float(r3.chi2_after) < float(r3.chi2_before) * 0.05
 
 
+def test_g2o_format_golden(tmp_path):
+    """The serialized g2o line layout is a stable external format (the
+    reference's offline tooling consumes it) — pin it exactly."""
+    graph = pg.empty_graph(4, 4, 4, plane_cap=2, sp_cap=4, q_cap=4)
+    pose = np.eye(4)
+    pose[:3, 3] = [1.0, 2.0, 3.0]
+    graph = pg.add_node(graph, 0, np.eye(4))
+    graph = pg.add_node(graph, 1, pose)
+    rel = np.eye(4)
+    rel[0, 3] = -1.0
+    graph = pg.add_se3_edge(graph, 0, 1, 0, rel, np.eye(6) * 2.0, huber=1.0)
+    graph = pg.add_prior(graph, 0, 1, pg.PRIOR_XYZ, [1.0, 2.0, 3.0], np.eye(3) * 4.0)
+    graph = pg.add_plane_node(graph, 0, [0.0, 0.0, 1.0, 0.0], fixed=True)
+    graph = pg.add_se3_plane_edge(graph, 0, 1, 0, [0.0, 0.0, 1.0, 0.5], np.eye(3))
+    path = str(tmp_path / "g.g2o")
+    g2o_io.save_graph(path, graph)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1"
+    assert lines[1] == "VERTEX_SE3:QUAT 1 1 2 3 0 0 0 1"
+    assert lines[2] == "VERTEX_PLANE 1000000 0 0 1 0"
+    assert lines[3] == "FIX 0"
+    assert lines[4] == "FIX 1000000"
+    assert lines[5].startswith("EDGE_SE3:QUAT 1 0 -1 0 0 0 0 0 1 2 0 0 0 0 0 2 0")
+    assert lines[6].startswith("EDGE_SE3_PRIORXYZ 1 1 2 3 4 0 0 4 0 4")
+    assert lines[7].startswith("EDGE_SE3_PLANE 1 1000000 0 0 1 0.5 1 0 0 1 0 1")
+    kernels = open(path + ".kernels").read().splitlines()
+    assert kernels == ["2 1 0 Huber 1"]
+
+
 def test_g2o_roundtrip_with_priors_and_planes(rng, tmp_path):
     """Round-trip a graph carrying EVERY factor family (the reference saves
     all registered types, `graph_slam.cpp:333-341`) and assert the reloaded
