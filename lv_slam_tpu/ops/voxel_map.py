@@ -104,18 +104,22 @@ def build_voxel_map(
     seg_id = jnp.where(svalid & (seg_id < leaf_cap), seg_id, leaf_cap)
     num_seg = leaf_cap + 1
 
-    ones = svalid.astype(jnp.float32)
-    counts = jax.ops.segment_sum(ones, seg_id, num_segments=num_seg)[:leaf_cap]
-    seg_key = jax.ops.segment_max(jnp.where(svalid, skeys, -1), seg_id, num_segments=num_seg)[:leaf_cap]
-
     # Center on the cell's geometric center: |centered| <= res/2 keeps float32
-    # second moments cancellation-free.
+    # second moments cancellation-free. All reductions ride ONE packed
+    # segment_sum (segment ops lower to scatters; each costs ~ms at this
+    # size) plus the one segment_max for the keys.
     cell_center = (jnp.floor(sxyz / res) + 0.5) * res
     centered = jnp.where(svalid[:, None], sxyz - cell_center, 0.0)
-    sum_c = jax.ops.segment_sum(centered, seg_id, num_segments=num_seg)[:leaf_cap]
     outer = centered[:, :, None] * centered[:, None, :]
-    sum_cc = jax.ops.segment_sum(outer.reshape(n, 9), seg_id, num_segments=num_seg)[:leaf_cap]
-    sum_cc = sum_cc.reshape(leaf_cap, 3, 3)
+    seg_in = jnp.concatenate(
+        [svalid.astype(jnp.float32)[:, None], centered, outer.reshape(n, 9)],
+        axis=1,
+    )  # (N,13): count, sum_c(3), sum_cc(9)
+    sums = jax.ops.segment_sum(seg_in, seg_id, num_segments=num_seg)[:leaf_cap]
+    counts = sums[:, 0]
+    sum_c = sums[:, 1:4]
+    sum_cc = sums[:, 4:13].reshape(leaf_cap, 3, 3)
+    seg_key = jax.ops.segment_max(jnp.where(svalid, skeys, -1), seg_id, num_segments=num_seg)[:leaf_cap]
 
     cnt = jnp.maximum(counts, 1.0)
     mean_c = sum_c / cnt[:, None]
