@@ -69,7 +69,10 @@ def project_range_image(
     n = xyz.shape[0]
     if n > (1 << 17):
         raise ValueError(f"point capacity {n} exceeds the 17-bit winner-index pack")
-    rq = jnp.clip((rng * 100.0).astype(jnp.int32), 0, (1 << 14) - 1)  # 1 cm steps
+    # rq must stay <= 2^13-1 so packed < 2^30 (the invalid sentinel): ranges
+    # beyond 81.91 m saturate at rq=8191 but remain VALID winners (A-LOAM has
+    # no max-range cut; KITTI HDL-64 returns reach ~120 m).
+    rq = jnp.clip((rng * 100.0).astype(jnp.int32), 0, (1 << 13) - 1)  # 1 cm steps
     packed = jnp.where(ok, (rq << 17) | jnp.arange(n, dtype=jnp.int32), jnp.int32(2**30))
     best = jnp.full((n_rings * n_azimuth + 1,), jnp.int32(2**30))
     best = best.at[flat_idx].min(packed)

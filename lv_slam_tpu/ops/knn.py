@@ -138,11 +138,21 @@ def knn_cell(
     cs = table.cell_size
     base = jnp.floor((queries - cs / 2.0) / cs).astype(jnp.int32)  # (Q,3)
     cells = base[:, None, :] + _OFF8[None, :, :]                   # (Q,8,3)
-    b = _bucket(cells, n_buckets)                                  # (Q,8)
+    b = jnp.asarray(_bucket(cells, n_buckets))                     # (Q,8)
+    # two probe cells can hash to the SAME bucket; without dedup the shared
+    # bucket's points would appear twice among the candidates and could fill
+    # two k-NN slots, so a "k-point" fit silently uses fewer distinct points.
+    # Invalidate every candidate from a bucket id already probed earlier.
+    dup = jnp.any(
+        (b[:, :, None] == b[:, None, :]) & jnp.tril(jnp.ones((8, 8), bool), k=-1),
+        axis=-1,
+    )                                                              # (Q,8)
     rows = table.table[b]                                          # ONE gather
     q = queries.shape[0]
-    cand = rows.reshape(q, 8 * s, 4)
-    ok = cand[..., 3] > 0.5
+    cand = rows.reshape(q, 8, s, 4)
+    ok = (cand[..., 3] > 0.5) & ~dup[:, :, None]
+    cand = cand.reshape(q, 8 * s, 4)
+    ok = ok.reshape(q, 8 * s)
     d2 = jnp.sum((queries[:, None, :] - cand[..., :3]) ** 2, axis=-1)
     d2 = jnp.where(ok, d2, jnp.inf)
     neg, top_idx = jax.lax.top_k(-d2, k)

@@ -53,6 +53,15 @@ def _hash(key: jax.Array, b_bits: int) -> jax.Array:
 def to_hash(vmap_: VoxelMap, buckets_per_leaf: int = 4) -> HashVoxelMap:
     """Re-index a built VoxelMap into the bucket-pair hash table. Jittable."""
     e = _extent_of(vmap_.lut)
+    # Embedded-key bitcast constraint (see the packed-row comment below):
+    # valid keys live in [0, e^3) and must stay below the first float32 NaN
+    # bit pattern (0x7F800000), or the TPU silently canonicalizes them in
+    # data movement and distinct leaves merge. e is static, so enforce here.
+    if e**3 >= 0x7F800000:
+        raise ValueError(
+            f"lut_extent {e} gives key space {e**3} >= 0x7F800000: embedded "
+            "keys would be NaN bit patterns (TPU-canonicalized); max extent 1289"
+        )
     leaf_cap = vmap_.leaf_cap
     n_buckets = 1
     while n_buckets < buckets_per_leaf * leaf_cap:

@@ -28,6 +28,16 @@ def transform_cloud_fn():
     return jax.jit(lambda c, t: c.transformed(t))
 
 
+@functools.lru_cache(maxsize=8)
+def prefilter_chunk_fn(cfg):
+    """Batched prefilter over a (B, cap) chunk of scans (cfg is the frozen
+    PrefilterConfig, static under jit). Feeds the backend the same
+    `/filtered_points` the host driver produces."""
+    from lv_slam_tpu.ops.prefilter import prefilter
+
+    return jax.jit(jax.vmap(lambda c: prefilter(c, cfg)))
+
+
 @functools.lru_cache(maxsize=32)
 def window_flush_fn(resolution: float, out_cap: int):
     """Motion-compose a whole keyframe window and voxel-downsample it in ONE

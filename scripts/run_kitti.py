@@ -31,6 +31,7 @@ def _run_fused(scan_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
     from lv_slam_tpu.lfa.fused import run_sequence_lfa
     from lv_slam_tpu.odometry.fused import run_sequence_fused
     from lv_slam_tpu.pipeline.backend import GlobalGraph
+    from lv_slam_tpu.utils import jit_cache
 
     tr_mat = np.eye(4)
     tr_mat[:3, :4] = tr[:3, :4]
@@ -46,21 +47,31 @@ def _run_fused(scan_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
         clouds = [PointCloud.from_numpy(s, cap=cap) for s in buf]
         xyz = jnp.stack([c.xyz for c in clouds])
         mask = jnp.stack([c.mask for c in clouds])
+        inten = jnp.stack([c.intensity for c in clouds])
         stamps = (jnp.arange(len(buf), dtype=jnp.float32) + seq) * 0.1
         odom, odo_state = run_sequence_fused(
             xyz, mask, stamps, cfg.odometry, cfg.prefilter,
             init_state=odo_state, return_state=True,
         )
         if use_lfa and cfg.lfa is not None:
+            # the lfa stage consumes the RAW scan like the reference's A-LOAM
+            # (ascanRegistration subscribes to /velodyne_points and applies
+            # only its own minimum_range cut)
             refined, lfa_state = run_sequence_lfa(
                 xyz, mask, cfg.lfa, odom_poses=odom,
                 init_state=lfa_state, return_state=True,
             )
         else:
             refined = odom
+        # the backend consumes /filtered_points (dlo_lfa_ggo_kitti.launch:88):
+        # batched device-side prefilter, same chain the host driver applies
+        filt = jit_cache.prefilter_chunk_fn(cfg.prefilter)(
+            PointCloud(xyz, inten, mask)
+        )
         refined_np = np.asarray(refined, np.float64)
-        for i, cloud in enumerate(clouds):
-            backend.add_scan(seq + i, (seq + i) * 0.1, refined_np[i], cloud)
+        for i in range(len(clouds)):
+            fcloud = PointCloud(filt.xyz[i], filt.intensity[i], filt.mask[i])
+            backend.add_scan(seq + i, (seq + i) * 0.1, refined_np[i], fcloud)
             if (seq + i + 1) % optimize_every == 0:
                 backend.optimize()
         seq += len(buf)

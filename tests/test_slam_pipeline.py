@@ -57,3 +57,36 @@ def test_pipeline_dlo_only(small_sequence):
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     err = np.linalg.norm(slam.dlo_poses[-1][:3, 3] - gt_rel[len(scans) - 1][:3, 3])
     assert err < 0.2, err
+
+
+def test_fused_driver_backend_cloud_matches_host_prefilter():
+    """The fused KITTI driver feeds the backend batched-prefiltered clouds
+    (jit_cache.prefilter_chunk_fn); they must equal the host driver's
+    per-scan prefilter exactly — both stand in for /filtered_points
+    (dlo_lfa_ggo_kitti.launch:88), so a fork here silently changes keyframe
+    windows, loop fitness, and save_map between the two drivers."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.config import PrefilterConfig
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.odometry.dlo import _prefilter_cache
+    from lv_slam_tpu.utils.jit_cache import prefilter_chunk_fn
+
+    rng = np.random.default_rng(3)
+    cfg = PrefilterConfig(raw_cap=4096, out_cap=4096)
+    scans = [rng.uniform(-40, 40, size=(3000, 4)).astype(np.float32) for _ in range(3)]
+    clouds = [PointCloud.from_numpy(s, cap=cfg.raw_cap) for s in scans]
+    batched = prefilter_chunk_fn(cfg)(
+        PointCloud(
+            jnp.stack([c.xyz for c in clouds]),
+            jnp.stack([c.intensity for c in clouds]),
+            jnp.stack([c.mask for c in clouds]),
+        )
+    )
+    host = _prefilter_cache(cfg)
+    for i, c in enumerate(clouds):
+        ref = host(c)
+        np.testing.assert_array_equal(np.asarray(batched.mask[i]), np.asarray(ref.mask))
+        np.testing.assert_allclose(
+            np.asarray(batched.xyz[i]), np.asarray(ref.xyz), atol=1e-5
+        )
