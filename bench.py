@@ -9,22 +9,29 @@ speedup over that 10 scans/s real-time rate. The driver-set north star is
 
 BENCH_MODE selects the measured topology:
 - full  (default): dlo -> lfa -> ggo — the reference's flagship
-  `dlo_lfa_ggo_kitti.launch` stack (fused NDT odometry lax.scan, fused
-  A-LOAM-style feature mapping lax.scan seeded by the dlo poses, then the
-  global-graph cycle). The BASELINE.json metric.
-- dlo_ggo: round-1 compatible mode without the LFA stage (its delta vs
-  `full` is the LFA cost).
+  `dlo_lfa_ggo_kitti.launch` stack, measured CONFIG-IDENTICAL to
+  `scripts/run_kitti.py --fused`: flagship `PipelineConfig()` defaults,
+  prefilter inside the timed fused-odometry program, LFA on the raw scans
+  (A-LOAM subscribes to /velodyne_points), the backend fed batched-
+  prefiltered clouds (= /filtered_points) WITH camera images.
+- dlo_ggo: the same without the LFA stage (its delta vs `full` is the LFA
+  cost).
 - fused: odometry only; host: per-scan host-driver odometry.
 
-The workload replays a synthetic HDL-64-density sequence (64 rings x 900
-azimuth, ~45k returns/scan — KITTI-like after the 0.1 m prefilter) through
-the flagship configuration: PCA-weighted NDT, DIRECT1, eps 0.01, <=64
-iterations, 10 m/0.17 rad/1 s keyframe gates, keyframe map rebuilds included.
+The workload is a KITTI-density circular drive: 64 rings x 2000 azimuth
+(~115k raw returns/scan — the prefilter capacities are exercised for real)
+around a 24.5 m-radius circle, so the vehicle revisits its start after
+~154 m of travel. With the flagship loop gates (20 m distance / 100 m
+accumulated travel / 50 m interval, `launch/dlo_lfa_ggo_kitti.launch:104-106`)
+the final keyframes trigger REAL loop closures: ORB keyframe descriptors,
+auto-trained-BoW ranking (>= vocab_min_keyframes keyframes carry
+descriptors), the coarse-to-fine NDT verification ladder, and loop edges in
+the optimized graph — the bench fails if no loop is detected.
 
 Accuracy gate: the devkit-style relative translation error on the synthetic
 ground truth must stay under 1% (the reference-parity bar is t <= 0.0094,
-BASELINE.md) and the final-pose drift under 2% of distance — a diverged run's
-throughput is meaningless.
+BASELINE.md) and the final-pose drift under 2% of distance — a diverged
+run's throughput is meaningless.
 """
 
 import json
@@ -59,75 +66,131 @@ def _devkit_t_err(gt_rel: np.ndarray, est: np.ndarray) -> float:
 
 
 def main():
-    n_scans = int(os.environ.get("BENCH_SCANS", "40"))
     mode = os.environ.get("BENCH_MODE", "full")
+    n_scans = int(os.environ.get("BENCH_SCANS", "170"))
     import jax.numpy as jnp
 
-    from lv_slam_tpu.config import LfaConfig, NDTConfig, OdometryConfig
+    from lv_slam_tpu.config import kitti_flagship_config
     from lv_slam_tpu.core.cloud import PointCloud
     from lv_slam_tpu.io import synthetic
 
-    scans, gt_poses, _ = synthetic.make_sequence(
-        n_scans, seed=5, trajectory="figure8", step=1.0, n_rings=64, n_azimuth=900
-    )
-    cap = 65536
-    cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=32768, lut_extent=256))
-    # 16k/32k feature-map caps measure identically accurate to the 64k/128k
-    # defaults on this workload and 1.6x faster (map sorts/scatters scale
-    # with capacity); real KITTI keeps the config defaults
-    lfa_cfg = LfaConfig(map_edge_cap=16384, map_planar_cap=32768)
+    cfg = kitti_flagship_config()
+
+    world = synthetic.make_world(seed=5)
+    gt_poses = synthetic.circle_trajectory(n_scans, step=1.0)
+    rays = synthetic.hdl64_rays(64, 2000)
+    scans = [
+        synthetic.simulate_scan(world, gt_poses[i], rays, seed=5 + i)
+        for i in range(n_scans)
+    ]
+    images = [
+        synthetic.render_camera_image(world, gt_poses[i], seed=5)
+        for i in range(n_scans)
+    ]
+    cap = cfg.prefilter.raw_cap
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
-    extra = {"mode": mode}
+    extra = {"mode": mode, "raw_points": int(np.mean([s.shape[0] for s in scans]))}
 
     if mode in ("fused", "full", "dlo_ggo"):
         from lv_slam_tpu.odometry.fused import run_sequence_fused
+        from lv_slam_tpu.utils.jit_cache import prefilter_chunk_fn
 
-        clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
-        xyz = jnp.stack([c.xyz for c in clouds])
-        mask = jnp.stack([c.mask for c in clouds])
-        stamps = jnp.arange(n_scans, dtype=jnp.float32) * 0.1
+        # host-side padded buffers once; the timed chain uploads per chunk.
+        # The sequence is processed in run_kitti-style chunks with carry
+        # state threaded between them (exact-equal to unchunked): a fully
+        # resident (N, cap, 3) stack at KITTI density exceeds HBM — the TPU
+        # tiles the minor dim 3 up to 128, a 42.7x padding expansion.
+        chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+        host_clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+        xyz_np = np.stack([np.asarray(c.xyz) for c in host_clouds])
+        mask_np = np.stack([np.asarray(c.mask) for c in host_clouds])
+        inten_np = np.stack([np.asarray(c.intensity) for c in host_clouds])
+        del host_clouds
+        stamps_np = np.arange(n_scans, dtype=np.float32) * 0.1
 
         if mode == "full":
             from lv_slam_tpu.lfa.fused import run_sequence_lfa
 
-        def run_ggo(poses_np):
-            """Global-graph cycle over the odometry output (flagship config)."""
+        loop_time = [0.0]
+
+        def make_backend():
+            """Flagship loop/graph config; graph capacities sized to the
+            workload — static shapes are a config property on TPU."""
             from lv_slam_tpu.config import GraphConfig, LoopDetectorConfig
             from lv_slam_tpu.pipeline.backend import GlobalGraph
 
             backend = GlobalGraph(
                 GraphConfig(
-                    keyframe_cap=64, edge_cap=128, prior_cap=16,
+                    keyframe_cap=64, edge_cap=256, prior_cap=16,
                     solver_num_iterations=64,
                 ),
                 LoopDetectorConfig(),
             )
-            # the reference's optimization cadence is a 10 s wall timer
-            # (graph_update_interval) = every ~100 scans at the 10 Hz rate
-            for i in range(n_scans):
-                backend.add_scan(i, i * 0.1, poses_np[i], clouds[i])
-                if i % 100 == 99:
-                    backend.optimize()
-            backend.finish()
-            while backend.keyframe_queue:
-                backend.optimize()
+            detect = backend.loop_detector.detect
+
+            def timed_detect(*a, **k):
+                t0 = time.perf_counter()
+                out = detect(*a, **k)
+                loop_time[0] += time.perf_counter() - t0
+                return out
+
+            backend.loop_detector.detect = timed_detect
             return backend
 
-        def run_chain():
-            """One full-pipeline pass; returns final (host) pose array."""
-            odom = run_sequence_fused(xyz, mask, stamps, cfg)
-            if mode == "full":
-                refined = run_sequence_lfa(xyz, mask, lfa_cfg, odom_poses=odom)
-            else:
-                refined = odom
-            poses_np = np.asarray(refined)  # the one true sync point
-            if mode in ("full", "dlo_ggo"):
-                backend = run_ggo(poses_np)
+        def run_chain(with_lfa):
+            """One full-pipeline pass, chunked exactly like
+            `run_kitti.py --fused`; returns the final (host) pose array."""
+            backend = make_backend() if mode in ("full", "dlo_ggo") else None
+            odo_state = lfa_state = None
+            all_poses = []
+            for s in range(0, n_scans, chunk):
+                e = min(s + chunk, n_scans)
+                xyz = jnp.asarray(xyz_np[s:e])
+                mask = jnp.asarray(mask_np[s:e])
+                inten = jnp.asarray(inten_np[s:e])
+                stamps = jnp.asarray(stamps_np[s:e])
+                odom, odo_state = run_sequence_fused(
+                    xyz, mask, stamps, cfg.odometry, cfg.prefilter,
+                    init_state=odo_state, return_state=True,
+                )
+                if with_lfa:
+                    # lfa consumes the RAW scan like the reference's A-LOAM
+                    refined, lfa_state = run_sequence_lfa(
+                        xyz, mask, cfg.lfa, odom_poses=odom,
+                        init_state=lfa_state, return_state=True,
+                    )
+                else:
+                    refined = odom
+                poses_np = np.asarray(refined)  # the chunk sync point
+                if backend is not None:
+                    # the backend consumes /filtered_points (+ camera image):
+                    # batched device-side prefilter, same as run_kitti --fused
+                    filt = prefilter_chunk_fn(cfg.prefilter)(
+                        PointCloud(xyz, inten, mask)
+                    )
+                    # reference optimization cadence: 10 s wall timer
+                    # (graph_update_interval) = every ~100 scans at 10 Hz
+                    for i in range(s, e):
+                        fcloud = PointCloud(
+                            filt.xyz[i - s], filt.intensity[i - s], filt.mask[i - s]
+                        )
+                        backend.add_scan(
+                            i, i * 0.1, poses_np[i - s], fcloud, image=images[i]
+                        )
+                        if i % 100 == 99:
+                            backend.optimize()
+                all_poses.append(poses_np)
+            if backend is not None:
+                backend.finish()
+                while backend.keyframe_queue:
+                    backend.optimize()
                 extra["keyframes"] = len(backend.keyframes)
-            return poses_np
+                extra["n_loops"] = len(backend.loops)
+                extra["bow_active"] = backend.loop_detector.vocabulary is not None
+            return np.concatenate(all_poses, axis=0)
 
         # warm-up compiles every step variant once
-        est = run_chain()
+        est = run_chain(mode == "full")
         reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
         # NOTE: through the remote-TPU relay `block_until_ready` does not
         # actually block; a host fetch is the only true synchronization. The
@@ -135,32 +198,74 @@ def main():
         # with one full pose fetch and the minimum rep time is reported.
         times = []
         for _ in range(reps):
+            loop_time[0] = 0.0
             t0 = time.perf_counter()
-            est = run_chain()
+            est = run_chain(mode == "full")
             times.append(time.perf_counter() - t0)
         elapsed = min(times)
         timed = n_scans
+        extra["loop_ms_per_scan"] = round(loop_time[0] / n_scans * 1000.0, 2)
         if mode == "full":
             # the LFA-on/off delta: time one dlo+ggo pass (already warm)
             off = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                odom_np = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg))
-                run_ggo(odom_np)
+                run_chain(False)
                 off.append(time.perf_counter() - t0)
             extra["dlo_ggo_scans_per_sec"] = round(n_scans / min(off), 2)
             extra["lfa_ms_per_scan"] = round((elapsed - min(off)) / n_scans * 1000.0, 2)
+        if mode == "full" and os.environ.get("BENCH_FLEET", "1") != "0":
+            # fleet mode: B lanes of the dlo+lfa chain on the ONE real chip —
+            # per-lane throughput vs the 1-lane run of the same program
+            # family is the scaling-efficiency number (the any-lane rebuild
+            # restructure is what makes this viable; VERDICT r2 #6). Lanes
+            # run at 65536-point capacity so B*N*cap stays within HBM (the
+            # minor-dim-3 tile padding makes stacked clouds 42.7x their
+            # logical size).
+            import dataclasses
+
+            from jax.sharding import Mesh
+
+            from lv_slam_tpu.parallel.fleet import run_fleet_odometry
+
+            f_cap = 65536
+            f_pf = dataclasses.replace(cfg.prefilter, raw_cap=f_cap, out_cap=f_cap)
+            f_clouds = [PointCloud.from_numpy(s, cap=f_cap) for s in scans[:40]]
+            fx = np.stack([np.asarray(c.xyz) for c in f_clouds])
+            fm = np.stack([np.asarray(c.mask) for c in f_clouds])
+            mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
+            n_fleet = 32
+            rate = {}
+            for lanes in (1, 4):
+                sx = jnp.asarray(
+                    np.stack([fx[i * 2 : i * 2 + n_fleet] for i in range(lanes)])
+                )
+                sm = jnp.asarray(
+                    np.stack([fm[i * 2 : i * 2 + n_fleet] for i in range(lanes)])
+                )
+                st = jnp.asarray(np.stack([stamps_np[:n_fleet]] * lanes))
+                args = (mesh, sx, sm, st, cfg.odometry, cfg.lfa, f_pf)
+                np.asarray(run_fleet_odometry(*args))  # warm/compile
+                best = np.inf
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    np.asarray(run_fleet_odometry(*args))
+                    best = min(best, time.perf_counter() - t0)
+                rate[lanes] = lanes * n_fleet / best
+            extra["fleet_scans_per_sec_per_lane_b4"] = round(rate[4] / 4, 2)
+            extra["fleet_scaling_efficiency"] = round((rate[4] / 4) / rate[1], 2)
     else:
         from lv_slam_tpu.odometry.dlo import DirectLidarOdometry
 
-        clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
-        odo = DirectLidarOdometry(cfg)
+        odo = DirectLidarOdometry(cfg.odometry, cfg.prefilter)
         warm = 3
         for i in range(warm):
-            odo.process(clouds[i], i * 0.1)
+            odo.process(PointCloud.from_numpy(scans[i], cap=cap), i * 0.1)
         t0 = time.perf_counter()
         for i in range(warm, n_scans):
-            odo.process(clouds[i], i * 0.1)
+            # per-scan upload (a resident 170-scan cloud list exceeds HBM
+            # under the minor-dim tile padding)
+            odo.process(PointCloud.from_numpy(scans[i], cap=cap), i * 0.1)
         jax.block_until_ready(odo._key_map.means)
         elapsed = time.perf_counter() - t0
         est = np.stack(odo.poses)
@@ -177,6 +282,8 @@ def main():
         t_rel = float("nan")
     # reference-parity bar: t <= 0.0094 (BASELINE.md); gate at ~1%
     rel_ok = not np.isfinite(t_rel) or t_rel <= 0.010
+    # the flagship loop pipeline must actually fire on this workload
+    loops_ok = mode not in ("full", "dlo_ggo") or extra.get("n_loops", 0) >= 1
 
     metric = {
         "full": "slam_scans_per_sec_per_chip",
@@ -191,7 +298,7 @@ def main():
             "n_scans": timed,
             "final_traj_err_m": round(float(final_err), 4),
             "devkit_t_err": round(t_rel, 5) if np.isfinite(t_rel) else None,
-            "tracking_ok": bool(drift_ok and rel_ok),
+            "tracking_ok": bool(drift_ok and rel_ok and loops_ok),
             "platform": jax.devices()[0].platform,
             **extra,
         },

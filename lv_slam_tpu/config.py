@@ -97,6 +97,12 @@ class OdometryConfig:
     keyframe_delta_angle: float = 0.17
     keyframe_delta_time: float = 1.0
     initial_guess_x: float = 1.5  # first-scan guess (scan_matching_odom:199-200)
+    # TPU static-shape budget: scan matching runs on an evenly-strided
+    # subsample of the filtered cloud when it exceeds this lane count (NDT
+    # gather cost scales with the PADDED capacity; 1-m voxel statistics
+    # saturate well below 65k samples). 0 disables. The backend still
+    # receives the full filtered cloud.
+    scan_matching_cap: int = 65536
     ndt: NDTConfig = dataclasses.field(default_factory=NDTConfig)
 
 
@@ -121,11 +127,38 @@ class LfaConfig:
     sharp_per_sector: int = 2
     less_sharp_per_sector: int = 20
     flat_per_sector: int = 4
+    # correspondence schedule (A-LOAM re-associates twice per solve; with the
+    # dlo warm start one round measures within noise of two on the synthetic
+    # devkit gate — 0.0018 vs 0.0020 rel-t, bar 0.0094 — at roughly half the
+    # mapping cost, so one round is the default; standalone feature odometry
+    # keeps two)
+    odom_corr_rounds: int = 2
+    mapping_corr_rounds: int = 1
+    # bucket-table k-NN: stored slots per hash cell, fit neighborhood size,
+    # and hash-table density (buckets ~ density * capacity). The table
+    # memset+scatter AND its gather working set scale with buckets*slots —
+    # measured on v5e, density 0.5 + 6 slots halves the whole LFA step
+    # (8.97 -> 4.34 ms) with no devkit accuracy change; collisions only cost
+    # recall on the few % of cells sharing a bucket (occupied cells run
+    # ~capacity/5, so load stays ~0.4)
+    knn_slots: int = 6
+    knn_k: int = 5
+    knn_table_density: float = 0.5
+    # world feature maps are cropped to this radius around the pose each
+    # scan: the sensor sees <= ~120 m and the correspondence gate is 1 m, so
+    # features beyond 150 m can never match (A-LOAM's 21x21x11 50-m-cube
+    # grid covers +-500 m but only the in-view cubes are ever queried)
+    crop_radius: float = 150.0
     # --- capacities ---
     edge_cap: int = 4096
     planar_cap: int = 8192
-    map_edge_cap: int = 65536
-    map_planar_cap: int = 131072
+    # world map capacities: within the 150 m crop, edge features live on
+    # ~1D structures at mapping_line_resolution spacing and surf features on
+    # ~2D surfaces at mapping_plane_resolution — 32k/64k covers a dense urban
+    # 150-m disc (all map structures scale their sort/scatter cost with these
+    # caps, so they are sized to the regime, not to "as big as fits")
+    map_edge_cap: int = 32768
+    map_planar_cap: int = 65536
     odom_max_iterations: int = 8
     mapping_max_iterations: int = 8
 

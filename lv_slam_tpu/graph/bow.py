@@ -75,9 +75,27 @@ def _assign_padded(bits: np.ndarray, centers: jax.Array) -> np.ndarray:
 
 
 class Vocabulary:
-    def __init__(self, centers: np.ndarray, idf: Optional[np.ndarray] = None):
+    def __init__(
+        self,
+        centers: np.ndarray,
+        idf: Optional[np.ndarray] = None,
+        baseline: float = 0.0,
+    ):
         self.centers = jnp.asarray(centers, jnp.float32)  # (W,256)
         self.idf = np.ones(centers.shape[0]) if idf is None else np.asarray(idf)
+        # expected L1 score of two UNRELATED images under this vocabulary.
+        # DBoW3's ~100k-word vectors are near-orthogonal (baseline ~ 0), so
+        # its absolute 0.04 accept gate works; a small auto-trained vocab
+        # (512 words) gives impostor scores of ~0.1-0.2 and the raw gate
+        # never rejects. Scores are therefore compared on the adjusted scale
+        # (s - baseline) / (1 - baseline), which equals the raw score when
+        # baseline = 0 (pretrained-vocab parity with `loop_detector.hpp:244`).
+        self.baseline = float(baseline)
+
+    def adjust(self, score) -> float:
+        """Map a raw L1 score onto the baseline-adjusted [<=0, 1] scale."""
+        b = self.baseline
+        return float((score - b) / max(1.0 - b, 1e-9))
 
     @property
     def n_words(self) -> int:
@@ -104,6 +122,18 @@ class Vocabulary:
             words = np.unique(_assign_padded(_as_bits(d), vocab.centers))
             df[words] += 1
         vocab.idf = np.log(len(descriptor_sets) / np.maximum(df, 1.0)) + 1e-3
+        # impostor baseline: mean pairwise score of distinct training images
+        # (training keyframes are spatially spread, so cross-pairs are a fair
+        # sample of unrelated-view similarity under this vocabulary)
+        vecs = [vocab.transform(d) for d in descriptor_sets]
+        pairs = [(i, j) for i in range(len(vecs)) for j in range(i + 1, len(vecs))]
+        if len(pairs) > 256:
+            sel = rng.choice(len(pairs), 256, replace=False)
+            pairs = [pairs[int(s)] for s in sel]
+        if pairs:
+            vocab.baseline = float(np.mean([
+                1.0 - 0.5 * np.abs(vecs[i] - vecs[j]).sum() for i, j in pairs
+            ]))
         return vocab
 
     def transform(self, descriptors: np.ndarray) -> np.ndarray:
@@ -123,12 +153,45 @@ class Vocabulary:
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
-        np.savez_compressed(path, centers=np.asarray(self.centers), idf=self.idf)
+        np.savez_compressed(
+            path, centers=np.asarray(self.centers), idf=self.idf,
+            baseline=self.baseline,
+        )
 
     @classmethod
     def load(cls, path: str) -> "Vocabulary":
         data = np.load(path)
-        return cls(data["centers"], data["idf"])
+        baseline = float(data["baseline"]) if "baseline" in data else 0.0
+        return cls(data["centers"], data["idf"], baseline=baseline)
+
+
+class InvertedIndex:
+    """DBoW3-style inverted file over tf-idf vectors: word -> postings of
+    (keyframe id, weight). Because BoW vectors are L1-normalized, the L1
+    score 1 - 0.5*|va - vb|_1 equals sum over SHARED words of
+    0.5*(a_w + b_w - |a_w - b_w|), so a query touches only the posting lists
+    of its own nonzero words — cost scales with word activity, not with the
+    number of indexed keyframes (the reference's DBoW3 database is exactly
+    this structure, `loop_detector.hpp:231-240`)."""
+
+    def __init__(self, n_words: int):
+        self.n_words = n_words
+        self.postings: List[dict] = [dict() for _ in range(n_words)]
+
+    def add(self, kf_id: int, vec: np.ndarray) -> None:
+        for w in np.nonzero(vec)[0]:
+            self.postings[int(w)][kf_id] = float(vec[w])
+
+    def query(self, vec: np.ndarray, subset: Optional[set] = None) -> dict:
+        """-> {kf_id: L1 score}; `subset` restricts scoring to those ids."""
+        scores: dict = {}
+        for w in np.nonzero(vec)[0]:
+            a = float(vec[w])
+            for kf_id, b in self.postings[int(w)].items():
+                if subset is not None and kf_id not in subset:
+                    continue
+                scores[kf_id] = scores.get(kf_id, 0.0) + 0.5 * (a + b - abs(a - b))
+        return scores
 
 
 def _as_bits(desc: np.ndarray) -> np.ndarray:

@@ -94,6 +94,8 @@ class LoopDetector:
                  leaf_cap: int = 16384, lut_extent: int = 256):
         self.cfg = cfg or LoopDetectorConfig()
         self.vocabulary = vocabulary  # optional graph/bow.Vocabulary
+        self._index = None            # lazy bow.InvertedIndex over keyframes
+        self._indexed: set = set()
         self.last_edge_accum_distance = 0.0
         c = self.cfg
         from lv_slam_tpu.utils.jit_cache import build_map_fn
@@ -147,6 +149,7 @@ class LoopDetector:
         for k in keyframes:  # invalidate any stale cached vectors
             if hasattr(k, "bow_vector"):
                 del k.bow_vector
+        self._index, self._indexed = None, set()
 
     def rank_candidates(self, candidates: List[KeyFrame], new_kf: KeyFrame):
         """Returns (ordered candidate list, scores) by visual similarity;
@@ -159,11 +162,23 @@ class LoopDetector:
             return candidates[: self.cfg.candidates_cap], [1.0] * min(len(candidates), self.cfg.candidates_cap)
         if self.vocabulary is not None:
             va = self._bow_vector(new_kf)
-            scores = [
-                0.0 if c.descriptor is None
-                else float(1.0 - 0.5 * np.abs(va - self._bow_vector(c)).sum())
-                for c in candidates
-            ]
+            if len(candidates) > 16:
+                # large candidate sets (>500-keyframe maps with wide gates):
+                # inverted-file query — cost scales with the query's posting
+                # lists, not the candidate count (bow.InvertedIndex)
+                got = self._query_index(va, candidates)
+                raw = [got.get(id(c), 0.0) for c in candidates]
+            else:
+                raw = [
+                    0.0 if c.descriptor is None
+                    else float(1.0 - 0.5 * np.abs(va - self._bow_vector(c)).sum())
+                    for c in candidates
+                ]
+            # baseline-adjusted scale: the reference's absolute 0.04 gate
+            # assumes near-orthogonal impostor vectors (large vocabularies);
+            # auto-trained small vocabularies carry their measured impostor
+            # baseline instead (bow.Vocabulary.adjust; 0 for pretrained)
+            scores = [max(0.0, self.vocabulary.adjust(s)) for s in raw]
         else:
             from lv_slam_tpu.ops.orb import match_scores_batch
 
@@ -182,6 +197,19 @@ class LoopDetector:
         # BoW accept gate (loop_detector.hpp:244)
         keep = [i for i, s in enumerate(rscores) if s >= self.cfg.bow_score_thresh]
         return [ranked[i] for i in keep], [rscores[i] for i in keep]
+
+    def _query_index(self, query_vec: np.ndarray, candidates: List[KeyFrame]) -> dict:
+        """Score candidates through the inverted file, indexing any keyframe
+        vectors not yet added (each keyframe is indexed once)."""
+        from lv_slam_tpu.graph.bow import InvertedIndex
+
+        if self._index is None:
+            self._index = InvertedIndex(self.vocabulary.n_words)
+        for c in candidates:
+            if c.descriptor is not None and id(c) not in self._indexed:
+                self._index.add(id(c), self._bow_vector(c))
+                self._indexed.add(id(c))
+        return self._index.query(query_vec, subset={id(c) for c in candidates})
 
     # -- verification --------------------------------------------------------
     def verify(self, candidates: List[KeyFrame], scores, new_kf: KeyFrame) -> Optional[Loop]:

@@ -77,6 +77,26 @@ def list_sequence_scans(dataset_dir: str, seq: str) -> List[str]:
     )
 
 
+def list_sequence_images(dataset_dir: str, seq: str, camera: str = "image_2") -> List[str]:
+    """Per-scan camera frames (the reference's kittiHelper publishes image_2,
+    ApproximateTime-synced with the cloud, `global_graph_nodelet.cpp:110-119`).
+    Returns [] when the sequence ships without images."""
+    d = os.path.join(dataset_dir, "sequences", seq, camera)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith((".png", ".jpg"))
+    )
+
+
+def read_image_gray(path: str) -> np.ndarray:
+    """(H,W) uint8 grayscale (ORB input; the reference converts via cv_bridge
+    mono8, `global_graph_nodelet.cpp:212-236`)."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("L"), dtype=np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # KITTI odometry-devkit relative-error metric (evaluate_odometry_seq)
 # ---------------------------------------------------------------------------

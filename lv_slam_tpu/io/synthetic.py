@@ -85,7 +85,8 @@ def _raycast(origins: np.ndarray, dirs: np.ndarray, world: World, max_range: flo
     # boxes: slab test, vectorized over (rays, boxes) in chunks to bound memory
     boxes = world.boxes
     chunk = 16384
-    inv = np.where(np.abs(dirs) > 1e-9, 1.0 / dirs, np.inf).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(np.abs(dirs) > 1e-9, 1.0 / dirs, np.inf).astype(np.float32)
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         o = origins[s:e, None, :]  # (c,1,3)
@@ -149,6 +150,30 @@ def figure8_trajectory(
         c, si = np.cos(yaw[i]), np.sin(yaw[i])
         poses[i] = np.array(
             [[c, -si, 0, x[i]], [si, c, 0, y[i]], [0, 0, 1, z], [0, 0, 0, 1]],
+            np.float32,
+        )
+    return poses
+
+
+def circle_trajectory(
+    n_poses: int, step: float = 1.0, z: float = 1.73, radius: float = 24.5
+) -> np.ndarray:
+    """(n,4,4) closed circular drive, yaw along the tangent: the vehicle
+    revisits its start after 2*pi*radius meters of travel — the loop-closure
+    workload (the KITTI flagship loop gates need >=100 m accumulated travel
+    between revisits, `launch/dlo_lfa_ggo_kitti.launch:104-106`)."""
+    ang = np.arange(n_poses) * step / radius
+    poses = np.zeros((n_poses, 4, 4), np.float32)
+    for i, a in enumerate(ang):
+        yaw = a + np.pi / 2
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i] = np.array(
+            [
+                [c, -s, 0, radius * np.cos(a)],
+                [s, c, 0, radius * np.sin(a)],
+                [0, 0, 1, z],
+                [0, 0, 0, 1],
+            ],
             np.float32,
         )
     return poses
@@ -223,6 +248,8 @@ def make_sequence(
         poses = figure8_trajectory(n_scans, step)
     elif trajectory == "straight":
         poses = straight_trajectory(n_scans, step)
+    elif trajectory == "circle":
+        poses = circle_trajectory(n_scans, step)
     else:
         raise ValueError(trajectory)
     rays = lidar_rays(n_rings, n_azimuth, max_elev_deg, min_elev_deg)

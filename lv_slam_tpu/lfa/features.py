@@ -89,11 +89,17 @@ def project_range_image(
 def compact_rows(image: jax.Array, valid: jax.Array):
     """Move each ring's valid returns to the front of the row, preserving
     azimuth order — recovering LOAM's sequential per-ring point arrays (its
-    sectors are index-based subdivisions of exactly this ordering)."""
-    order = jnp.argsort(~valid, axis=1, stable=True)
-    img_c = jnp.take_along_axis(image, order[..., None], axis=1)
-    val_c = jnp.take_along_axis(valid, order, axis=1)
-    return img_c, val_c
+    sectors are index-based subdivisions of exactly this ordering).
+
+    ONE stable multi-operand `lax.sort` carries the coordinates through the
+    sort network, replacing argsort + two row gathers (gathers cost ~0.5 ms
+    per 65k indices on v5e; the carried sort is measurably cheaper)."""
+    key = (~valid).astype(jnp.int32)
+    _, x, y, z, v = jax.lax.sort(
+        (key, image[..., 0], image[..., 1], image[..., 2], valid),
+        dimension=1, is_stable=True, num_keys=1,
+    )
+    return jnp.stack([x, y, z], axis=-1), v
 
 
 def _window_sum(x: jax.Array, half: int) -> jax.Array:
@@ -128,22 +134,28 @@ def _local_extrema(c: jax.Array, win: int, maxima: bool) -> jax.Array:
     return c == best
 
 
-def _pick(image, c, ok, per_sector, n_sectors, cap, largest):
-    """Top-k picks per (ring, sector); returns (cap,3) points + mask."""
+def _sector_topk(image, c, ok, per_sector, n_sectors, largest):
+    """Top-k picks per (ring, sector): (r, s, k, 3) points + (r, s, k) good.
+    `top_k` returns indices in descending score order, so the first k' picks
+    of a k-pick call equal a separate k'-pick call — sharp features reuse the
+    less-sharp call's leading columns (one selection network, not two)."""
     r, a, _ = image.shape
     sector_w = a // n_sectors
     c_sect = c[:, : sector_w * n_sectors].reshape(r, n_sectors, sector_w)
     ok_sect = ok[:, : sector_w * n_sectors].reshape(r, n_sectors, sector_w)
     img_sect = image[:, : sector_w * n_sectors].reshape(r, n_sectors, sector_w, 3)
-
     base = c_sect if largest else -c_sect
     score = jnp.where(ok_sect & jnp.isfinite(base), base, -jnp.inf)
     _, idx = jax.lax.top_k(score, per_sector)
     pts = jnp.take_along_axis(img_sect, idx[..., None], axis=2)
     good = jnp.take_along_axis(ok_sect, idx, axis=2)  # validity of each pick
+    return pts, good
+
+
+def _compact(pts, good, cap):
+    """Flatten picks and compact valid ones into the fixed cap."""
     pts = pts.reshape(-1, 3)
     good = good.reshape(-1)
-    # compact into the fixed cap
     order = jnp.argsort(~good, stable=True)[:cap]
     return jnp.where(good[order][:, None], pts[order], SENTINEL), good[order]
 
@@ -165,15 +177,25 @@ def extract_features(cloud: PointCloud, cfg: LfaConfig) -> FeatureClouds:
     edge_ok = cok & is_max & (c > edge_thresh)
     surf_ok = cok & (c < surf_thresh)
 
-    sharp, sharp_m = _pick(image, c, edge_ok, cfg.sharp_per_sector, cfg.n_sectors, cfg.edge_cap // 4, largest=True)
-    less_sharp, less_sharp_m = _pick(image, c, edge_ok, cfg.less_sharp_per_sector, cfg.n_sectors, cfg.edge_cap, largest=True)
-    flat, flat_m = _pick(image, c, surf_ok & is_min, cfg.flat_per_sector, cfg.n_sectors, cfg.planar_cap // 4, largest=False)
+    e_pts, e_good = _sector_topk(
+        image, c, edge_ok, cfg.less_sharp_per_sector, cfg.n_sectors, largest=True
+    )
+    sharp, sharp_m = _compact(
+        e_pts[:, :, : cfg.sharp_per_sector], e_good[:, :, : cfg.sharp_per_sector],
+        cfg.edge_cap // 4,
+    )
+    less_sharp, less_sharp_m = _compact(e_pts, e_good, cfg.edge_cap)
+    f_pts, f_good = _sector_topk(
+        image, c, surf_ok & is_min, cfg.flat_per_sector, cfg.n_sectors, largest=False
+    )
+    flat, flat_m = _compact(f_pts, f_good, cfg.planar_cap // 4)
     # less-flat: every surf-eligible cell, subsampled by taking a generous
     # top-k of lowest curvature (A-LOAM voxel-downsamples all non-edge points)
-    less_flat, less_flat_m = _pick(
+    g_pts, g_good = _sector_topk(
         image, c, surf_ok, max(1, cfg.planar_cap // (cfg.n_sectors * cfg.scan_line)),
-        cfg.n_sectors, cfg.planar_cap, largest=False,
+        cfg.n_sectors, largest=False,
     )
+    less_flat, less_flat_m = _compact(g_pts, g_good, cfg.planar_cap)
     return FeatureClouds(
         sharp=sharp, sharp_mask=sharp_m,
         less_sharp=less_sharp, less_sharp_mask=less_sharp_m,

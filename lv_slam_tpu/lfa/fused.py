@@ -63,11 +63,21 @@ def _merge(map_xyz, map_mask, new_xyz, new_mask, resolution: float):
     return out.xyz, out.mask
 
 
-def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float = 300.0):
+def _n_buckets(cfg: LfaConfig, cap: int) -> int:
+    """Hash-table size from capacity x density (table memset+scatter cost
+    scales with buckets*slots; occupied cells run ~cap/5, so density 1-2
+    keeps collisions at a few percent)."""
+    target = max(1, int(cfg.knn_table_density * cap))
+    return 1 << max(12, min(18, (target - 1).bit_length()))
+
+
+def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | None = None):
     """-> (init_state, step). `external_odom=True` is the dlo_lfa coupling:
     the caller supplies per-scan world odometry (from the PCA-NDT frontend)
     and the scan-to-scan feature solve is skipped; `False` is standalone LFA
     (A-LOAM's own alaserOdometry feeds alaserMapping)."""
+    if crop_radius is None:
+        crop_radius = cfg.crop_radius
     grid_cell = 2.0
 
     def init_state(xyz, mask, odom0) -> LfaFusedState:
@@ -109,7 +119,7 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float = 300
             new_last_rel = state.last_rel
         else:
             t = state.last_rel
-            for _ in range(2):  # A-LOAM's 2 correspondence rounds
+            for _ in range(cfg.odom_corr_rounds):  # A-LOAM re-associates twice
                 ye = se3.transform_points(t, feats.sharp)
                 lines = reg.lines_from_2nn(ye, feats.sharp_mask, state.prev_edge_grid)
                 ys = se3.transform_points(t, feats.flat)
@@ -127,14 +137,20 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float = 300
         # the 8-cell probe — one gather per query batch).
         rel_map = se3.inverse(state.last_odom) @ odom
         guess = state.map_pose @ rel_map
-        edge_grid = build_cell_table(state.edge_map, state.edge_mask, 2.0)
-        surf_grid = build_cell_table(state.surf_map, state.surf_mask, 2.0)
+        edge_grid = build_cell_table(
+            state.edge_map, state.edge_mask, 2.0,
+            n_buckets=_n_buckets(cfg, cfg.map_edge_cap), slots=cfg.knn_slots,
+        )
+        surf_grid = build_cell_table(
+            state.surf_map, state.surf_mask, 2.0,
+            n_buckets=_n_buckets(cfg, cfg.map_planar_cap), slots=cfg.knn_slots,
+        )
         t = guess
-        for _ in range(2):
+        for _ in range(cfg.mapping_corr_rounds):
             ye = se3.transform_points(t, feats.less_sharp)
-            lines = reg.lines_from_fit(ye, feats.less_sharp_mask, edge_grid)
+            lines = reg.lines_from_fit(ye, feats.less_sharp_mask, edge_grid, k=cfg.knn_k)
             ys = se3.transform_points(t, feats.less_flat)
-            planes = reg.planes_from_fit(ys, feats.less_flat_mask, surf_grid)
+            planes = reg.planes_from_fit(ys, feats.less_flat_mask, surf_grid, k=cfg.knn_k)
             t = reg.gn_solve(t, feats.less_sharp, lines, feats.less_flat, planes, cfg.mapping_max_iterations)
         refined = se3.orthonormalize(t)
 
@@ -213,7 +229,7 @@ def run_sequence_lfa(
     mask: jax.Array,
     cfg: LfaConfig,
     odom_poses: jax.Array | None = None,
-    crop_radius: float = 300.0,
+    crop_radius: float | None = None,
     init_state: LfaFusedState | None = None,
     return_state: bool = False,
 ):
@@ -227,6 +243,8 @@ def run_sequence_lfa(
     and thread the state into the next chunk's `init_state`.
     """
     external = odom_poses is not None
+    if crop_radius is None:
+        crop_radius = cfg.crop_radius
     if odom_poses is None:
         n = xyz.shape[0]
         odom_poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1))

@@ -70,9 +70,9 @@ def _crop_map(map_xyz, map_mask, center, radius: float):
 class FeatureMapping:
     """Host driver holding the persistent feature maps."""
 
-    def __init__(self, cfg: Optional[LfaConfig] = None, crop_radius: float = 300.0):
+    def __init__(self, cfg: Optional[LfaConfig] = None, crop_radius: Optional[float] = None):
         self.cfg = cfg or LfaConfig()
-        self.crop_radius = crop_radius
+        self.crop_radius = crop_radius if crop_radius is not None else self.cfg.crop_radius
         c = self.cfg
         self._edge_map = jnp.full((c.map_edge_cap, 3), SENTINEL, jnp.float32)
         self._edge_mask = jnp.zeros((c.map_edge_cap,), bool)
@@ -82,8 +82,17 @@ class FeatureMapping:
         self._last_odom = np.eye(4)
         self._initialized = False
         # bucket-table k-NN (cell 2.0 covers the 1.0 m fit gates), same
-        # structure as the device-resident lfa/fused.py path
-        self._build_table = jax.jit(functools.partial(build_cell_table, cell_size=2.0))
+        # structure/sizing as the device-resident lfa/fused.py path
+        from lv_slam_tpu.lfa.fused import _n_buckets
+
+        self._build_edge_table = jax.jit(functools.partial(
+            build_cell_table, cell_size=2.0,
+            n_buckets=_n_buckets(c, c.map_edge_cap), slots=c.knn_slots,
+        ))
+        self._build_surf_table = jax.jit(functools.partial(
+            build_cell_table, cell_size=2.0,
+            n_buckets=_n_buckets(c, c.map_planar_cap), slots=c.knn_slots,
+        ))
         self._transform = jax.jit(se3.transform_points)
         self._count = 0
 
@@ -103,14 +112,14 @@ class FeatureMapping:
         self._last_odom = odom.copy()
 
         if self._initialized and self._count % max(cfg.mapping_skip_frame, 1) == 0:
-            edge_grid = self._build_table(self._edge_map, self._edge_mask)
-            surf_grid = self._build_table(self._surf_map, self._surf_mask)
+            edge_grid = self._build_edge_table(self._edge_map, self._edge_mask)
+            surf_grid = self._build_surf_table(self._surf_map, self._surf_mask)
             refined, n_e, n_s = _map_step(
                 jnp.asarray(guess, jnp.float32),
                 feats.less_sharp, feats.less_sharp_mask,
                 feats.less_flat, feats.less_flat_mask,
                 edge_grid, surf_grid,
-                2, self.cfg.mapping_max_iterations,
+                self.cfg.mapping_corr_rounds, self.cfg.mapping_max_iterations,
             )
             self._pose = np.asarray(refined, np.float64)
         else:

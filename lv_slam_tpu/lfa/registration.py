@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from lv_slam_tpu.core import se3
-from lv_slam_tpu.ops.knn import KnnGrid, knn, knn_any
+from lv_slam_tpu.ops.knn import CellTable, KnnGrid, candidates_cell, knn
 
 _DIST_SQ_THRESH = 25.0  # correspondence gate, matches A-LOAM's 25 m^2
 
@@ -56,14 +56,27 @@ def lines_from_2nn(y: jax.Array, mask: jax.Array, grid: KnnGrid) -> LineField:
 
 
 def lines_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> LineField:
-    """Mapping-style: eigen-fit a line to the k nearest map edge points;
-    accept when the scatter is strongly linear (lambda_max >= 3 * lambda_mid,
-    A-LOAM's laserMapping criterion). `grid` may be a sorted KnnGrid or the
+    """Mapping-style: eigen-fit a line to the map edge points within 1 m of
+    the query; accept when >= k neighbors participate and the scatter is
+    strongly linear (lambda_max >= 3 * lambda_mid, A-LOAM's laserMapping
+    criterion). A-LOAM fits exactly the 5 nearest and requires all of them
+    within 1 m; the radius-gated fit keeps the same gate ("at least k map
+    points within 1 m") but uses EVERY in-radius candidate — no top-k
+    selection network, no per-slot gather, and the eigen criterion is at
+    least as robust with more samples. `grid` may be a sorted KnnGrid or the
     bucket-table CellTable (the device-resident mapping path)."""
-    dists, pts, valid = knn_any(grid, y, k=k)
-    w = valid.astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mu = jnp.sum(pts * w[..., None], axis=1) / cnt[:, None]
+    if isinstance(grid, CellTable):
+        pts, cand_ok = candidates_cell(grid, y)
+        d2 = jnp.sum((y[:, None, :] - pts) ** 2, axis=-1)
+        use = cand_ok & (d2 < 1.0)
+    else:
+        dists, pts, valid = knn(grid, y, k=k)
+        use = valid & (dists < 1.0)
+    w = use.astype(jnp.float32)
+    n_use = jnp.sum(w, axis=1)
+    cnt = jnp.maximum(n_use, 1.0)
+    pts = jnp.where(use[..., None], pts, 0.0)
+    mu = jnp.sum(pts, axis=1) / cnt[:, None]
     centered = (pts - mu[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[:, None, None]
     from lv_slam_tpu.ops.linalg3 import eigh3x3
@@ -72,8 +85,7 @@ def lines_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> LineField
     v = evecs[:, :, 2]
     ok = (
         mask
-        & (jnp.sum(w, axis=1) >= k)
-        & (dists[:, k - 1] < 1.0)
+        & (n_use >= k)
         & (evals[:, 2] > 3.0 * jnp.maximum(evals[:, 1], 1e-12))
     )
     return LineField(mu=mu, v=v, valid=ok)
@@ -97,18 +109,29 @@ def planes_from_3nn(y: jax.Array, mask: jax.Array, grid: KnnGrid) -> PlaneField:
 
 
 def planes_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> PlaneField:
-    """Mapping-style: least-squares plane through the k nearest map surf
-    points (A-LOAM solves A n = -1); accept when all k points lie within
-    0.2 m of the fit."""
-    dists, pts, valid = knn_any(grid, y, k=k)
-    w = valid.astype(jnp.float32)
-    # A-LOAM solves A n = -1 on raw coordinates; at ~100 m ranges that is
-    # hopelessly ill-conditioned in float32 (cond ~ |p|^2 / spread^2). The
-    # PCA fit on centered coordinates — normal = smallest-eigenvalue
-    # direction of the neighborhood scatter — is the well-conditioned
-    # equivalent (identical plane for clean data).
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mu = jnp.sum(pts * w[..., None], axis=1) / cnt[:, None]
+    """Mapping-style: least-squares plane through the map surf points within
+    1 m of the query (A-LOAM fits the exact 5 nearest and solves A n = -1);
+    accept when >= k neighbors participate and every participant lies within
+    0.2 m of the fit. Radius-gated like `lines_from_fit` (same gate, all
+    in-radius candidates, no top-k).
+
+    A-LOAM's A n = -1 on raw coordinates is hopelessly ill-conditioned in
+    float32 at ~100 m ranges (cond ~ |p|^2 / spread^2). The PCA fit on
+    centered coordinates — normal = smallest-eigenvalue direction of the
+    neighborhood scatter — is the well-conditioned equivalent (identical
+    plane for clean data)."""
+    if isinstance(grid, CellTable):
+        pts, cand_ok = candidates_cell(grid, y)
+        d2 = jnp.sum((y[:, None, :] - pts) ** 2, axis=-1)
+        use = cand_ok & (d2 < 1.0)
+    else:
+        dists, pts, valid = knn(grid, y, k=k)
+        use = valid & (dists < 1.0)
+    w = use.astype(jnp.float32)
+    n_use = jnp.sum(w, axis=1)
+    cnt = jnp.maximum(n_use, 1.0)
+    pts = jnp.where(use[..., None], pts, 0.0)
+    mu = jnp.sum(pts, axis=1) / cnt[:, None]
     c = (pts - mu[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[:, None, None]
     from lv_slam_tpu.ops.linalg3 import eigh3x3
@@ -118,8 +141,8 @@ def planes_from_fit(y: jax.Array, mask: jax.Array, grid, k: int = 5) -> PlaneFie
     d = -jnp.sum(n_hat * mu, axis=1)
     resid = jnp.abs(jnp.einsum("nki,ni->nk", pts, n_hat) + d[:, None])
     finite = jnp.all(jnp.isfinite(n_hat), axis=1) & jnp.isfinite(d)
-    flat_enough = jnp.all(jnp.where(valid, resid, 0.0) < 0.2, axis=1)
-    ok = mask & (jnp.sum(w, axis=1) >= k) & (dists[:, k - 1] < 1.0) & flat_enough & finite
+    flat_enough = jnp.all(jnp.where(use, resid, 0.0) < 0.2, axis=1)
+    ok = mask & (n_use >= k) & flat_enough & finite
     n_hat = jnp.where(ok[:, None] & jnp.isfinite(n_hat), n_hat, 0.0)
     d = jnp.where(ok & jnp.isfinite(d), d, 0.0)
     return PlaneField(n=n_hat, d=d, valid=ok)

@@ -40,6 +40,13 @@ def _prefilter_cache(prefilter_cfg: PrefilterConfig):
     return jax.jit(functools.partial(prefilter, cfg=prefilter_cfg))
 
 
+@functools.lru_cache(maxsize=16)
+def _subsample_cache(out_cap: int):
+    from lv_slam_tpu.ops.prefilter import uniform_subsample
+
+    return jax.jit(functools.partial(uniform_subsample, out_cap=out_cap))
+
+
 @dataclasses.dataclass
 class OdometryStats:
     scan_count: int = 0
@@ -92,6 +99,11 @@ class DirectLidarOdometry:
             self._prefilter = _prefilter_cache(prefilter_cfg)
         else:
             self._prefilter = None
+        sm = self.cfg.scan_matching_cap
+        if prefilter_cfg is not None and sm and sm < prefilter_cfg.out_cap:
+            self._subsample = _subsample_cache(sm)
+        else:
+            self._subsample = None
         self.reset()
 
     def reset(self):
@@ -112,6 +124,10 @@ class DirectLidarOdometry:
         cfg = self.cfg
         if self._prefilter is not None:
             cloud = self._prefilter(cloud)
+        if self._subsample is not None:
+            # bounded-lane scan matching (OdometryConfig.scan_matching_cap);
+            # same subsample as the fused driver's in-program path
+            cloud = self._subsample(cloud)
 
         if self.stats.scan_count == 0:
             self._key_map = self._build(cloud)

@@ -128,45 +128,46 @@ def build_cell_table(
     return CellTable(table=table.reshape(n_buckets, slots * 4), cell_size=cs)
 
 
-def knn_cell(
-    table: CellTable, queries: jax.Array, k: int
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """For each query (Q,3): (dists (Q,k), points (Q,k,3), valid (Q,k)).
-    Complete for neighbors within cell_size/2 of the query (8-cell probe)."""
+def candidates_cell(table: CellTable, queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Raw candidate set per query: (points (Q,8*S,3), valid (Q,8*S)).
+
+    ONE row gather over the 8 probe cells around each query — complete for
+    neighbors within cell_size/2. The caller applies its own radius gate and
+    fits over the whole candidate set (no top-k selection network needed for
+    radius-gated least-squares fits, which saves ~half the correspondence
+    cost of the LFA mapping stage on v5e)."""
     n_buckets = table.table.shape[0]
     s = table.slots
     cs = table.cell_size
     base = jnp.floor((queries - cs / 2.0) / cs).astype(jnp.int32)  # (Q,3)
     cells = base[:, None, :] + _OFF8[None, :, :]                   # (Q,8,3)
     b = jnp.asarray(_bucket(cells, n_buckets))                     # (Q,8)
-    # two probe cells can hash to the SAME bucket; without dedup the shared
-    # bucket's points would appear twice among the candidates and could fill
-    # two k-NN slots, so a "k-point" fit silently uses fewer distinct points.
-    # Invalidate every candidate from a bucket id already probed earlier.
+    # dedup duplicate probe buckets (see knn_cell)
     dup = jnp.any(
         (b[:, :, None] == b[:, None, :]) & jnp.tril(jnp.ones((8, 8), bool), k=-1),
         axis=-1,
-    )                                                              # (Q,8)
+    )
     rows = table.table[b]                                          # ONE gather
     q = queries.shape[0]
     cand = rows.reshape(q, 8, s, 4)
     ok = (cand[..., 3] > 0.5) & ~dup[:, :, None]
-    cand = cand.reshape(q, 8 * s, 4)
-    ok = ok.reshape(q, 8 * s)
-    d2 = jnp.sum((queries[:, None, :] - cand[..., :3]) ** 2, axis=-1)
+    return cand[..., :3].reshape(q, 8 * s, 3), ok.reshape(q, 8 * s)
+
+
+def knn_cell(
+    table: CellTable, queries: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """For each query (Q,3): (dists (Q,k), points (Q,k,3), valid (Q,k)).
+    Complete for neighbors within cell_size/2 of the query (8-cell probe;
+    duplicate probe buckets invalidated so the k slots hold distinct points)."""
+    cand, ok = candidates_cell(table, queries)
+    d2 = jnp.sum((queries[:, None, :] - cand) ** 2, axis=-1)
     d2 = jnp.where(ok, d2, jnp.inf)
     neg, top_idx = jax.lax.top_k(-d2, k)
     dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
-    points = jnp.take_along_axis(cand[..., :3], top_idx[..., None], axis=1)
+    points = jnp.take_along_axis(cand, top_idx[..., None], axis=1)
     valid = jnp.isfinite(dists)
     return dists, points, valid
-
-
-def knn_any(grid, queries: jax.Array, k: int):
-    """Dispatch on the structure type (trace-time isinstance)."""
-    if isinstance(grid, CellTable):
-        return knn_cell(grid, queries, k)
-    return knn(grid, queries, k)
 
 
 def knn(

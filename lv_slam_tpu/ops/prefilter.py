@@ -166,6 +166,33 @@ def voxel_dedup_first(cloud: PointCloud, resolution: float, out_cap: int) -> Poi
     )
 
 
+def uniform_subsample(cloud: PointCloud, out_cap: int) -> PointCloud:
+    """Evenly-strided subsample of a front-compacted cloud to `out_cap`.
+
+    TPU static-shape budget device: NDT gather cost scales with the PADDED
+    lane count, so scan matching runs on a bounded, unbiased subset (every
+    k-th surviving point) instead of a capacity-truncated one (truncation
+    after the voxel sort is spatially biased toward low voxel keys). The
+    input must have its valid points compacted to the front (voxel_downsample
+    and PointCloud.compact guarantee this).
+    """
+    n = cloud.cap
+    if out_cap >= n:
+        return cloud
+    cnt = jnp.sum(cloud.mask.astype(jnp.int32))
+    take = jnp.minimum(cnt, out_cap)
+    i = jnp.arange(out_cap, dtype=jnp.int32)
+    idx = (i * cnt) // jnp.maximum(take, 1)
+    ok = i < take
+    idx = jnp.where(ok, jnp.minimum(idx, n - 1), 0)
+    packed = jnp.concatenate([cloud.xyz, cloud.intensity[:, None]], axis=1)[idx]
+    return PointCloud(
+        jnp.where(ok[:, None], packed[:, :3], SENTINEL),
+        jnp.where(ok, packed[:, 3], 0.0),
+        ok & cloud.mask[idx],
+    )
+
+
 def prefilter(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
     """Full prefiltering chain (`prefiltering_nodelet.cpp:92-135`)."""
     out = cloud

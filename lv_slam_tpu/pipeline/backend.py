@@ -206,11 +206,18 @@ class GlobalGraph:
         self.keyframes.extend(self.new_keyframes)
         self.new_keyframes = []
 
+        # ship only the ACTIVE prefix of the graph: node/edge/prior slots are
+        # assigned sequentially, so slicing to the next power-of-two bucket is
+        # exact. Upload volume AND the dense LM normal-equation size then
+        # scale with content, not with the configured capacities (a
+        # 1024-keyframe cap no longer costs a 6144^2 solve for a 40-node
+        # graph); each bucket tuple compiles once.
+        active, k2 = self._active_graph()
         result = pg.optimize_pose_graph(
-            self.graph, num_iterations or cfg.solver_num_iterations
+            active, num_iterations or cfg.solver_num_iterations
         )
         poses = np.asarray(result.poses, np.float64)
-        self.graph.poses[:] = poses.astype(np.float32)  # host arrays, in place
+        self.graph.poses[:k2] = poses.astype(np.float32)  # host arrays, in place
         if self._n_planes:  # each fetch costs a relay round trip
             self.graph.planes[:] = np.asarray(result.planes, np.float32)
         for kf in self.keyframes:
@@ -219,6 +226,33 @@ class GlobalGraph:
         last = self.keyframes[-1]
         self.trans_odom2map = last.estimate @ np.linalg.inv(last.odom)
         return result
+
+    def _active_graph(self):
+        """Slice the graph to power-of-two buckets over the active prefix
+        (ids are sequential). Plane/plane-edge arrays stay whole (caps <= 64)."""
+
+        def bucket(n: int, cap: int, lo: int = 8) -> int:
+            b = lo
+            while b < n:
+                b *= 2
+            return min(b, cap)
+
+        g = self.graph
+        k2 = bucket(self._n_nodes, self.cfg.keyframe_cap)
+        e2 = bucket(self._n_edges, self.cfg.edge_cap)
+        p2 = bucket(self._n_priors, self.cfg.prior_cap)
+        s2 = bucket(self._n_sp_edges, self.cfg.sp_edge_cap)
+        active = g._replace(
+            poses=g.poses[:k2], node_valid=g.node_valid[:k2],
+            node_fixed=g.node_fixed[:k2],
+            e_i=g.e_i[:e2], e_j=g.e_j[:e2], e_meas=g.e_meas[:e2],
+            e_info=g.e_info[:e2], e_huber=g.e_huber[:e2], e_valid=g.e_valid[:e2],
+            p_node=g.p_node[:p2], p_type=g.p_type[:p2], p_meas=g.p_meas[:p2],
+            p_info=g.p_info[:p2], p_huber=g.p_huber[:p2], p_valid=g.p_valid[:p2],
+            sp_i=g.sp_i[:s2], sp_plane=g.sp_plane[:s2], sp_meas=g.sp_meas[:s2],
+            sp_info=g.sp_info[:s2], sp_huber=g.sp_huber[:s2], sp_valid=g.sp_valid[:s2],
+        )
+        return active, k2
 
     def _flush_keyframe_queue(self) -> bool:
         if not self.keyframe_queue:
@@ -353,6 +387,16 @@ class GlobalGraph:
                 for row in kf.odom:
                     f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
                 f.write(f"accum_distance {kf.accum_distance:.9g}\n")
+                # optional per-keyframe sensor annotations, same single-line
+                # layout as the reference (`keyframe.cpp:66-85`)
+                if kf.floor_coeffs is not None:
+                    f.write("floor_coeffs " + " ".join(f"{v:.9g}" for v in kf.floor_coeffs) + "\n")
+                if kf.utm_coord is not None:
+                    f.write("utm_coord " + " ".join(f"{v:.9g}" for v in kf.utm_coord) + "\n")
+                if kf.acceleration is not None:
+                    f.write("acceleration " + " ".join(f"{v:.9g}" for v in kf.acceleration) + "\n")
+                if kf.orientation is not None:
+                    f.write("orientation " + " ".join(f"{v:.9g}" for v in kf.orientation) + "\n")
                 if kf.estimate is not None:
                     f.write("estimate\n")
                     for row in kf.estimate:
@@ -507,7 +551,9 @@ def load_dump(
                 meta[parts[0]] = np.asarray(rows)
                 j += 5
             else:
-                meta[parts[0]] = parts[1] if len(parts) > 1 else None
+                meta[parts[0]] = parts[1:] if len(parts) > 2 else (
+                    parts[1] if len(parts) > 1 else None
+                )
                 j += 1
         points = pcd.read_pcd(os.path.join(kf_dir, "cloud.pcd"))
         kf = KeyFrame(
@@ -519,6 +565,9 @@ def load_dump(
             node_id=int(meta.get("id", i)),
             estimate=meta.get("estimate"),
         )
+        for field in ("floor_coeffs", "utm_coord", "acceleration", "orientation"):
+            if meta.get(field) is not None:
+                setattr(kf, field, np.asarray([float(v) for v in meta[field]]))
         backend.keyframes.append(kf)
         i += 1
 

@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def _run_fused(scan_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
+def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
     """Chunked device-resident pipeline: the dlo and lfa lax.scan programs
     process `chunk` scans per dispatch, threading their carry state between
     chunks (exact equality with the unchunked run); the global graph consumes
@@ -71,7 +71,12 @@ def _run_fused(scan_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
         refined_np = np.asarray(refined, np.float64)
         for i in range(len(clouds)):
             fcloud = PointCloud(filt.xyz[i], filt.intensity[i], filt.mask[i])
-            backend.add_scan(seq + i, (seq + i) * 0.1, refined_np[i], fcloud)
+            img = None
+            if image_files and seq + i < len(image_files):
+                from lv_slam_tpu.io.kitti import read_image_gray
+
+                img = read_image_gray(image_files[seq + i])
+            backend.add_scan(seq + i, (seq + i) * 0.1, refined_np[i], fcloud, image=img)
             if (seq + i + 1) % optimize_every == 0:
                 backend.optimize()
         seq += len(buf)
@@ -114,7 +119,11 @@ def main():
         "programs over fixed-size chunks with state threaded between chunks "
         "(one dispatch per chunk per stage instead of several per scan)",
     )
-    ap.add_argument("--chunk", type=int, default=64, help="scans per fused chunk")
+    ap.add_argument(
+        "--chunk", type=int, default=32,
+        help="scans per fused chunk (HBM bound: stacked (chunk,cap,3) clouds "
+        "tile-pad the minor dim 3 up to 128 on TPU — 42.7x the logical size)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -126,8 +135,12 @@ def main():
     calib = kitti.read_calib(os.path.join(seq_dir, "calib.txt"))
     tr = kitti.tr_to_matrix(calib.get("Tr"))
     scan_files = kitti.list_sequence_scans(args.dataset, args.seq)
+    image_files = kitti.list_sequence_images(args.dataset, args.seq)
     if args.max_scans:
         scan_files = scan_files[: args.max_scans]
+        image_files = image_files[: args.max_scans]
+    if image_files:
+        print(f"{len(image_files)} camera frames (visual loop closure active)")
 
     vocabulary = None
     if args.vocab:
@@ -142,7 +155,7 @@ def main():
     t0 = time.perf_counter()
     if args.fused:
         poses, backend = _run_fused(
-            scan_files, cfg, not args.no_lfa, args.chunk, tr,
+            scan_files, image_files, cfg, not args.no_lfa, args.chunk, tr,
             args.optimize_every, vocabulary,
         )
     else:
@@ -154,7 +167,11 @@ def main():
         # native prefetcher keeps the device fed (numpy fallback if unbuilt)
         with native.ScanPrefetcher(scan_files) as prefetcher:
             for i, scan in enumerate(prefetcher):
-                pose = slam.process(scan, i * 0.1)
+                img = (
+                    kitti.read_image_gray(image_files[i])
+                    if image_files and i < len(image_files) else None
+                )
+                pose = slam.process(scan, i * 0.1, image=img)
                 poses.append(pose)
                 if i % 50 == 0:
                     rate = (i + 1) / (time.perf_counter() - t0)

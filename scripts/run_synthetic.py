@@ -17,18 +17,45 @@ def main():
     ap.add_argument("--scans", type=int, default=60)
     ap.add_argument("--output", default="out_synth")
     ap.add_argument("--no-lfa", action="store_true")
+    ap.add_argument(
+        "--trajectory", choices=("figure8", "circle"), default="figure8",
+        help="circle = closed loop sized to the scan count, run with "
+        "kylin-scale keyframe/loop gates so visual loop closure fires",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
-    from lv_slam_tpu.config import PipelineConfig
+    from lv_slam_tpu.config import (
+        GraphConfig, LoopDetectorConfig, OdometryConfig, PipelineConfig,
+    )
     from lv_slam_tpu.io import kitti, synthetic
     from lv_slam_tpu.pipeline.slam import LvSlam
 
     print("simulating...")
-    scans, gt, world = synthetic.make_sequence(args.scans, seed=5, trajectory="figure8")
+    if args.trajectory == "circle":
+        # close the circle within the run (~10% overlap past the start)
+        radius = args.scans * 1.0 / (2.2 * np.pi)
+        world = synthetic.make_world(seed=5)
+        gt = synthetic.circle_trajectory(args.scans, step=1.0, radius=radius)
+        rays = synthetic.hdl64_rays()
+        scans = [
+            synthetic.simulate_scan(world, gt[i], rays, seed=5 + i)
+            for i in range(args.scans)
+        ]
+        cfg = PipelineConfig(
+            odometry=OdometryConfig(keyframe_delta_trans=2.0),
+            loop=LoopDetectorConfig(
+                distance_thresh=5.0, accum_distance_thresh=25.0,
+                min_edge_interval=15.0,
+            ),
+            graph=GraphConfig(keyframe_delta_trans=2.0),
+        )
+    else:
+        scans, gt, world = synthetic.make_sequence(args.scans, seed=5, trajectory="figure8")
+        cfg = PipelineConfig()
     images = [synthetic.render_camera_image(world, gt[i], seed=5) for i in range(args.scans)]
 
-    slam = LvSlam(PipelineConfig(), use_lfa=not args.no_lfa, optimize_every=50, scan_cap=65536)
+    slam = LvSlam(cfg, use_lfa=not args.no_lfa, optimize_every=50, scan_cap=65536)
     t0 = time.perf_counter()
     poses = [slam.process(s, i * 0.1, image=images[i]) for i, s in enumerate(scans)]
     slam.finalize()

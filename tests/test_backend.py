@@ -125,8 +125,19 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
     authoring flow, `graph_slam.cpp:333-363`, `keyframe.cpp:94-201`)."""
     scans, gt, odoms, images = circle_run
     backend = _build_backend()
+    backend.cfg = GraphConfig(
+        keyframe_delta_trans=5.0, keyframe_cap=64, edge_cap=256,
+        solver_num_iterations=64, enable_gps=True,
+        enable_imu_orientation=True, enable_imu_acceleration=True,
+    )
     for i, scan in enumerate(scans[:20]):
-        backend.add_scan(i, i * 0.1, odoms[i], PointCloud.from_numpy(scan, cap=16384))
+        backend.add_scan(
+            i, i * 0.1, odoms[i], PointCloud.from_numpy(scan, cap=16384),
+            gps_xyz=gt[i][:3, 3] + [500.0, 300.0, 0.0],
+            imu_quat_wxyz=np.array([1.0, 0.0, 0.0, 0.0]),
+            imu_acceleration=np.array([0.0, 0.0, 9.81]),
+            floor_coeffs=np.array([0.0, 0.0, 1.0, 1.73]),
+        )
     backend.finish()
     while backend.keyframe_queue:
         backend.optimize()
@@ -141,14 +152,20 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
     assert np.isfinite(float(result.chi2_after))
 
     # full resume: keyframes with clouds re-bound to graph nodes
-    from lv_slam_tpu.config import GraphConfig
-
     resumed = load_dump(d, GraphConfig(keyframe_cap=64, edge_cap=256), keyframe_cloud_cap=65536)
     assert len(resumed.keyframes) == len(backend.keyframes)
     for a, b in zip(resumed.keyframes, backend.keyframes):
         assert a.node_id == b.node_id and a.seq == b.seq
         np.testing.assert_allclose(a.odom, b.odom, atol=1e-5)
         assert int(a.cloud.count()) == int(b.cloud.count())
+        # optional sensor annotations round-trip (`keyframe.cpp:66-85`)
+        for field in ("floor_coeffs", "utm_coord", "acceleration", "orientation"):
+            bv = getattr(b, field)
+            av = getattr(a, field)
+            if bv is None:
+                assert av is None, field
+            else:
+                np.testing.assert_allclose(av, bv, atol=1e-6, err_msg=field)
     # re-optimization on the resumed graph works and map export still runs
     r2 = pg.optimize_pose_graph(resumed.graph, 16)
     assert np.isfinite(float(r2.chi2_after))

@@ -53,3 +53,34 @@ def test_dlo_with_prefilter(small_sequence):
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses[:3])
     errs = _relative_errors(gt_rel, est)
     assert errs.max() < 0.12, errs
+
+
+def test_uniform_subsample_unbiased():
+    """scan_matching_cap subsampling: evenly-strided subset of the valid
+    prefix (unbiased, unlike capacity truncation after a voxel sort) with
+    exactly min(count, cap) survivors."""
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import uniform_subsample
+
+    rng = np.random.default_rng(0)
+    n_valid, cap, out_cap = 3000, 4096, 512
+    pts = rng.uniform(-50, 50, size=(n_valid, 3)).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts, cap=cap)
+    sub = uniform_subsample(cloud, out_cap)
+    assert int(sub.count()) == out_cap
+    sub_xyz = np.asarray(sub.xyz)[np.asarray(sub.mask)]
+    # every survivor is an original point, and the subset spans the range
+    # (first point kept, stride ~ n_valid/out_cap)
+    np.testing.assert_allclose(sub_xyz[0], pts[0], atol=0)
+    strides = (n_valid * np.arange(out_cap)) // out_cap
+    np.testing.assert_allclose(sub_xyz, pts[strides], atol=0)
+    # centroid unbiased within sampling noise
+    assert np.linalg.norm(sub_xyz.mean(0) - pts.mean(0)) < 2.0
+
+    # fewer valid points than the cap: everything survives
+    small = PointCloud.from_numpy(pts[:100], cap=cap)
+    sub2 = uniform_subsample(small, out_cap)
+    assert int(sub2.count()) == 100
+    np.testing.assert_allclose(
+        np.asarray(sub2.xyz)[np.asarray(sub2.mask)], pts[:100], atol=0
+    )

@@ -18,11 +18,20 @@ def mini_kitti(tmp_path):
     velo.mkdir(parents=True)
     # figure8 + moderate density: a straight corridor at very low ray count
     # is longitudinally degenerate for any scan matcher
-    scans, poses, _ = synthetic.make_sequence(
+    scans, poses, world = synthetic.make_sequence(
         6, seed=17, trajectory="figure8", step=1.0, n_rings=32, n_azimuth=450
     )
     for i, s in enumerate(scans):
         s.astype(np.float32).tofile(velo / f"{i:06d}.bin")
+    # camera frames: the driver must pick up image_2/ and run ORB per
+    # keyframe (`global_graph_nodelet.cpp:110-119,212-236`)
+    from PIL import Image
+
+    img_dir = seq_dir / "image_2"
+    img_dir.mkdir()
+    for i in range(len(scans)):
+        img = synthetic.render_camera_image(world, poses[i], seed=17)
+        Image.fromarray(img).save(img_dir / f"{i:06d}.png")
     tr = np.array([[0, -1, 0, 0.0], [0, 0, -1, 0.0], [1, 0, 0, 0.0]], float)
     with open(seq_dir / "calib.txt", "w") as f:
         for i in range(4):
@@ -46,6 +55,7 @@ def test_run_kitti_script(mini_kitti, tmp_path):
         cwd=repo, env=env, capture_output=True, text=True, timeout=500,
     )
     assert result.returncode == 0, result.stderr[-2000:]
+    assert "camera frames" in result.stdout  # image_2/ picked up -> ORB ran
     pose_file = os.path.join(out, "KITTI_04_odom.txt")
     assert os.path.exists(pose_file)
     est_cam = kitti.read_pose_file(pose_file)
@@ -78,6 +88,7 @@ def test_run_kitti_fused_chunked(mini_kitti, tmp_path):
         cwd=repo, env=env, capture_output=True, text=True, timeout=600,
     )
     assert result.returncode == 0, result.stderr[-2000:]
+    assert "camera frames" in result.stdout
     est_cam = kitti.read_pose_file(os.path.join(out, "KITTI_04_odom.txt"))
     assert est_cam.shape[0] == 6
     tr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]])
