@@ -317,110 +317,3 @@ def _jitted_scan_cont_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig 
 
     return run
 
-
-def _select_lanes(pred, new, old):
-    """Per-lane acceptance: where(pred) over every batched leaf of a pytree
-    (leading axis = lane); scalar/static leaves keep the old value."""
-    def sel(a, b):
-        if not hasattr(a, "ndim") or a.ndim == 0:
-            return b
-        return jnp.where(pred.reshape(pred.shape + (1,) * (a.ndim - 1)), a, b)
-
-    return jax.tree.map(sel, new, old)
-
-
-def make_fleet_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None = None):
-    """Batched (lane-parallel) odometry step for the fleet runner.
-
-    Under plain `vmap` of the per-sequence step every `lax.cond` lowers to
-    select — both branches execute — so each lane pays a full keyframe map
-    rebuild, a wide-basin retry align, and the scan-1 double-align EVERY
-    scan. This variant keeps the conditionals at BATCH level: predicates are
-    any-lane reductions (so the branches stay real branches), the expensive
-    branch computes the batched result once, and per-lane `where` accepts it
-    only for the lanes that triggered. With B lanes at a ~1/10 per-lane
-    keyframe rate the expected rebuild work drops from 1.0 to
-    (1 - 0.9**B)/B builds per lane per scan (e.g. 0.07 at B=8).
-
-    Semantics are identical to `make_fused_step` per lane (same reference
-    behavior: `scan_matching_odom_nodelet.cpp:192-261`).
-    """
-    ndt = cfg.ndt
-    build, align, align_retry, score_at = _make_ops(cfg, prefilter_cfg)
-
-    def pf(cloud: PointCloud) -> PointCloud:
-        if prefilter_cfg is None:
-            return cloud
-        return _prefilter(cloud, prefilter_cfg, cfg.scan_matching_cap)
-
-    def init_states(clouds: PointCloud, stamps) -> FusedState:
-        b = clouds.xyz.shape[0]
-        filtered = jax.vmap(pf)(clouds)
-        eye = jnp.eye(4, dtype=jnp.float32)
-        tile = lambda m: jnp.tile(m, (b, 1, 1))  # noqa: E731
-        return FusedState(
-            key_map=jax.vmap(build)(filtered),
-            key_pose=tile(eye),
-            tf_s2k=tile(eye),
-            pre_tf_s2k=tile(eye),
-            guess=tile(eye.at[0, 3].set(cfg.initial_guess_x)),
-            keyframe_stamp=jnp.asarray(stamps, jnp.float32),
-            scan_idx=jnp.full((b,), 1, jnp.int32),
-        )
-
-    def step(states: FusedState, clouds: PointCloud, stamps):
-        b = clouds.xyz.shape[0]
-        filtered = jax.vmap(pf)(clouds)
-        results = jax.vmap(align)(states.key_map, filtered, states.guess)
-        tf = results.transform  # (B,4,4)
-        # scan-1 double align: lanes run lockstep, so the per-lane scan_idx
-        # is lane-invariant — a real branch, paid on scan 1 only
-        tf = jax.lax.cond(
-            states.scan_idx[0] == 1,
-            lambda: jax.vmap(align)(states.key_map, filtered, tf).transform,
-            lambda: tf,
-        )
-        if ndt.retry_deviation_thresh > 0:
-            dev = jnp.linalg.norm(tf[:, :3, 3] - states.guess[:, :3, 3], axis=-1)
-            need = dev > ndt.retry_deviation_thresh
-
-            def do_retry():
-                r = jax.vmap(align_retry)(states.key_map, filtered, states.guess)
-                s_retry = jax.vmap(score_at)(states.key_map, filtered, r.transform)
-                accept = need & (s_retry > results.score)
-                return jnp.where(accept[:, None, None], r.transform, tf)
-
-            tf = jax.lax.cond(jnp.any(need), do_retry, lambda: tf)
-        tf = jax.vmap(se3.orthonormalize)(tf)
-
-        tf_s2s = jnp.einsum("bij,bjk->bik", jax.vmap(se3.inverse)(states.pre_tf_s2k), tf)
-        odom = jnp.einsum("bij,bjk->bik", states.key_pose, tf)
-
-        dx = jnp.linalg.norm(tf[:, :3, 3], axis=-1)
-        da = jax.vmap(se3.rotation_angle)(tf[:, :3, :3])
-        dt = jnp.asarray(stamps, jnp.float32) - states.keyframe_stamp
-        switch = (
-            (dx > cfg.keyframe_delta_trans)
-            | (da > cfg.keyframe_delta_angle)
-            | (dt > cfg.keyframe_delta_time)
-        )
-
-        def rebuild():
-            return _select_lanes(switch, jax.vmap(build)(filtered), states.key_map)
-
-        new_map = jax.lax.cond(jnp.any(switch), rebuild, lambda: states.key_map)
-        eye_b = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
-        sw3 = switch[:, None, None]
-        tf_after = jnp.where(sw3, eye_b, tf)
-        new_states = FusedState(
-            key_map=new_map,
-            key_pose=jnp.where(sw3, odom, states.key_pose),
-            tf_s2k=tf_after,
-            pre_tf_s2k=tf_after,
-            guess=jnp.einsum("bij,bjk->bik", tf_after, tf_s2s),
-            keyframe_stamp=jnp.where(switch, jnp.asarray(stamps, jnp.float32), states.keyframe_stamp),
-            scan_idx=states.scan_idx + 1,
-        )
-        return new_states, (odom, results.iterations, switch)
-
-    return init_states, step

@@ -162,6 +162,38 @@ def pack_descriptors(desc_bits: np.ndarray) -> np.ndarray:
     return np.packbits(np.asarray(desc_bits, bool), axis=1)
 
 
+def _pack_bits_device(desc_bits: jax.Array) -> jax.Array:
+    """(K,256) bool -> (K,32) uint8 ON DEVICE (np.packbits big-endian
+    layout). Packing before the host fetch shrinks the relay transfer 8x —
+    the unpacked fetch was the dominant ORB cost (~40-130 ms/keyframe at
+    the relay's few MB/s)."""
+    k = desc_bits.shape[0]
+    bits = desc_bits.reshape(k, 32, 8).astype(jnp.int32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _detect_pyramid(image: jax.Array, k_levels: tuple, threshold: float):
+    """All pyramid levels in ONE program: per level run the FAST+BRIEF
+    detector, pack descriptor bits, map keypoints back to level 0, and
+    concatenate — a single dispatch + one small packed fetch instead of
+    (levels x dispatch + levels x 128 KB unpacked-descriptor fetches)."""
+    img = image.astype(jnp.float32)
+    descs, kpts, valids = [], [], []
+    for level, k_level in enumerate(k_levels):
+        kp, desc, scores, valid = detect_and_compute(img, k_level, threshold)
+        descs.append(_pack_bits_device(desc))
+        kpts.append(kp * (2 ** level))
+        valids.append(valid)
+        img = _halve(img)
+    return (
+        jnp.concatenate(descs),
+        jnp.concatenate(kpts),
+        jnp.concatenate(valids),
+    )
+
+
 def unpack_descriptors(desc: np.ndarray) -> np.ndarray:
     """(K,32) uint8 -> (K,256) bool."""
     return np.unpackbits(np.asarray(desc, np.uint8), axis=1).astype(bool)
@@ -277,21 +309,22 @@ class OrbExtractor:
 
     def detect_and_compute(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """image (H,W) [0,255] -> (descriptors (K,32) uint8, keypoints (K,2))."""
-        img = jnp.asarray(np.asarray(image, np.float32))
-        descs, kpts_all = [], []
+        img = np.asarray(image, np.float32)
+        h, w = img.shape
+        norm = sum(0.75**l for l in range(self.n_levels))
+        k_levels = []
         for level in range(self.n_levels):
-            if min(img.shape) < 2 * (_PATCH_R + 1):
+            if min(h, w) < 2 * (_PATCH_R + 1):
                 break
-            k_level = max(16, int(self.max_features * (0.75**level) / sum(0.75**l for l in range(self.n_levels))))
-            kpts, desc, scores, valid = detect_and_compute(img, k_level, self.threshold)
-            v = np.asarray(valid)
-            if v.any():
-                descs.append(pack_descriptors(np.asarray(desc)[v]))
-                kpts_all.append(np.asarray(kpts)[v] * (2**level))
-            img = _halve(img)
-        if not descs:
+            k_levels.append(max(16, int(self.max_features * (0.75**level) / norm)))
+            h //= 2
+            w //= 2
+        if not k_levels:
             return np.zeros((0, 32), np.uint8), np.zeros((0, 2), np.int32)
-        return (
-            np.concatenate(descs)[: self.max_features],
-            np.concatenate(kpts_all)[: self.max_features],
+        desc, kpts, valid = _detect_pyramid(
+            jnp.asarray(img), tuple(k_levels), self.threshold
         )
+        v = np.asarray(valid)
+        desc = np.asarray(desc)[v]
+        kpts = np.asarray(kpts)[v]
+        return desc[: self.max_features], kpts[: self.max_features]

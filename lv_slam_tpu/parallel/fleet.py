@@ -4,15 +4,17 @@ The reference processes one rosbag per process (`scripts/lidar_odom_kitti.sh`
 loops sequences serially). On a TPU pod slice the natural production shape is
 the opposite: S independent sequences sharded over the mesh's "batch" axis,
 each chip running the full device-resident odometry (and optionally LFA)
-lax.scan on its shard. The only steady-state communication is a per-scan
-scalar reduction of the any-lane branch predicates (see
-`odometry/fused.make_fleet_step`) — everything heavy stays shard-local.
+lax.scan on its shard — zero steady-state collectives.
 
-Partitioning is GSPMD-style: the batched step's lane axis is annotated with
-a `NamedSharding`; XLA partitions the program across the mesh. This
-composes with the point-sharded registration in `parallel/mesh.py` on a 2D
-(batch, point) mesh. Per-lane throughput is measured by bench.py's
-`fleet_*` extras on the real chip.
+Partitioning is `shard_map` over the mesh "batch" axis: every shard runs
+the UNMODIFIED per-sequence program (`odometry/fused.make_fused_step`), so
+the keyframe-rebuild / retry / double-align `lax.cond`s stay true per-lane
+branches. Lanes beyond the device count unroll serially within their shard
+— measured on v5e, one pipeline already saturates the chip's gather engine
+(vmap lane-batching scaled SUPER-linearly: 1/2/4 lanes = 0.39/1.32/5.50 s
+for the same per-lane work, 3.5x worse than serial), so per-chip
+multiplexing buys nothing and chips are the scaling axis. Per-lane
+throughput/overhead is measured by bench.py's `fleet_*` extras.
 """
 
 from __future__ import annotations
@@ -35,35 +37,24 @@ def _fleet_fn(
     prefilter_cfg=None,
 ):
     from lv_slam_tpu.lfa.fused import make_lfa_fused
-    from lv_slam_tpu.odometry.fused import make_fleet_step
+    from lv_slam_tpu.odometry.fused import make_fused_step
 
-    # the odometry runs as ONE time-major batched scan over all lanes: the
-    # keyframe-rebuild / retry / double-align conditionals stay REAL branches
-    # (any-lane predicates + per-lane acceptance) instead of lowering to
-    # per-lane select under vmap, where every lane would pay every branch
-    # every scan (a full map rebuild per lane per scan)
-    init_states, step = make_fleet_step(cfg, prefilter_cfg)
+    init_state, step = make_fused_step(cfg, prefilter_cfg)
     lfa = make_lfa_fused(lfa_cfg, external_odom=True) if lfa_cfg is not None else None
 
-    def odometry_all(x, m, t):
-        # (S, N, ...) -> time-major (N, S, ...)
-        xt = jnp.swapaxes(x, 0, 1)
-        mt = jnp.swapaxes(m, 0, 1)
-        tt = jnp.swapaxes(t, 0, 1)
-        s, cap = x.shape[0], x.shape[2]
-        zeros = jnp.zeros((s, cap), jnp.float32)
-        states = init_states(PointCloud(xt[0], zeros, mt[0]), tt[0])
+    def one_sequence(sx, sm, st):
+        zeros = jnp.zeros((sx.shape[1],), jnp.float32)
+        state0 = init_state(PointCloud(sx[0], zeros, sm[0]), st[0])
 
-        def body(states, inputs):
-            xs, ms, ts = inputs
-            new_states, (poses, _, _) = step(states, PointCloud(xs, zeros, ms), ts)
-            return new_states, poses
+        def body(state, inputs):
+            x, m, t = inputs
+            new_state, (pose, _, _) = step(state, PointCloud(x, zeros, m), t)
+            return new_state, pose
 
-        _, poses = jax.lax.scan(body, states, (xt[1:], mt[1:], tt[1:]))
-        eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (1, s, 1, 1))
-        return jnp.swapaxes(jnp.concatenate([eye, poses], axis=0), 0, 1)  # (S,N,4,4)
-
-    def one_sequence_lfa(sx, sm, poses):
+        _, poses = jax.lax.scan(body, state0, (sx[1:], sm[1:], st[1:]))
+        poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], poses], axis=0)
+        if lfa is None:
+            return poses
         lfa_init, lfa_step = lfa
         lstate = lfa_init(sx[0], sm[0], poses[0])
 
@@ -75,17 +66,21 @@ def _fleet_fn(
         _, refined = jax.lax.scan(lfa_body, lstate, (sx[1:], sm[1:], poses[1:]))
         return jnp.concatenate([poses[:1], refined], axis=0)
 
-    def run(x, m, t):
-        poses = odometry_all(x, m, t)
-        if lfa is None:
-            return poses
-        return jax.vmap(one_sequence_lfa)(x, m, poses)
+    def shard_body(x, m, t):
+        # local shard (S_local, N, cap, ...): one true-branch per-sequence
+        # program per local lane, unrolled (S_local is usually 1 — chips are
+        # the scaling axis; see the module docstring)
+        return jnp.stack([one_sequence(x[i], m[i], t[i]) for i in range(x.shape[0])])
 
-    sharding = NamedSharding(mesh, P("batch"))
+    spec = P("batch")
+    # check_vma=False: the body is collective-free (pure per-shard compute);
+    # the varying-axis analysis chokes on unvarying scalars mixed into
+    # while_loop carries inside the NDT solver
     return jax.jit(
-        run,
-        in_shardings=(sharding, sharding, sharding),
-        out_shardings=sharding,
+        jax.shard_map(
+            shard_body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
     )
 
 
@@ -101,10 +96,9 @@ def run_fleet_odometry(
     """-> (S, N, 4, 4) poses; sequences sharded over the mesh "batch" axis.
 
     Each shard runs the fused scan-in/pose-out odometry program (and the
-    fused LFA refinement when `lfa_cfg` is given) over its local sequences.
-    The while-loops inside NDT run lockstep under vmap — the lanes that
-    converge early ride along, which is the OpenMP guided-schedule trade
-    re-expressed in SPMD form.
+    fused LFA refinement when `lfa_cfg` is given) over its local sequences,
+    serially within the shard — every conditional stays a true branch (see
+    the module docstring for why this beats vmap lane-batching on a chip).
     """
     return _fleet_fn(mesh, cfg, lfa_cfg, prefilter_cfg)(xyz, mask, stamps)
 

@@ -45,11 +45,17 @@ class GlobalGraph:
         calib_tr: Optional[np.ndarray] = None,
         keyframe_cloud_cap: int = 131072,
         vocabulary=None,
+        prefilter_cfg=None,
     ):
         self.cfg = cfg or GraphConfig()
         self.loop_cfg = loop_cfg or LoopDetectorConfig()
         self.tr = np.eye(4) if calib_tr is None else np.asarray(calib_tr, np.float64)
         self.keyframe_cloud_cap = keyframe_cloud_cap
+        if prefilter_cfg is None:
+            from lv_slam_tpu.config import PrefilterConfig
+
+            prefilter_cfg = PrefilterConfig()
+        self.prefilter_cfg = prefilter_cfg
 
         self.graph = pg.empty_graph(
             self.cfg.keyframe_cap, self.cfg.edge_cap, self.cfg.prior_cap,
@@ -78,6 +84,7 @@ class GlobalGraph:
 
         # window accumulation state: device clouds + window-relative transforms
         self._w_parts: List[tuple] = []  # (PointCloud, (4,4) np rel transform)
+        self._w_partials: List[PointCloud] = []  # batch path: centroided groups
         self._w_odom: Optional[np.ndarray] = None
         self._w_seq = -1
         self._w_stamp = 0.0
@@ -127,10 +134,38 @@ class GlobalGraph:
                 if v is not None:
                     self._w_sensors[k] = v
 
-    def _flush_window(self) -> None:
-        # motion-compose the window on device (global_graph_nodelet.cpp:237-244)
-        # as ONE program over the stacked (W,cap,*) window — the part count is
-        # padded to a power of two so the jit sees a bounded set of shapes
+    def _window_cloud(self) -> PointCloud:
+        """Collapse the accumulated window into one downsampled cloud.
+
+        Per-scan path (`add_scan`): motion-compose the stacked (W,cap,*)
+        window in ONE device program (`global_graph_nodelet.cpp:237-244`);
+        the part count is padded to a power of two so the jit sees a bounded
+        set of shapes. Batch path (`add_scan_batch`): the groups are already
+        centroided partials — return the single partial, or dedup-merge the
+        chunk-boundary few.
+        """
+        if self._w_partials:
+            parts = self._w_partials
+            if len(parts) == 1:
+                return parts[0]
+            from lv_slam_tpu.utils.jit_cache import merge_partials_fn
+
+            target = 1
+            while target < len(parts):
+                target *= 2
+            # pad with repeats of the first partial: dedup-first keeps the
+            # earliest occurrence per voxel, so trailing duplicates are inert
+            pad = parts + [parts[0]] * (target - len(parts))
+            merge = merge_partials_fn(
+                self.prefilter_cfg.downsample_resolution
+                if self.prefilter_cfg.downsample_method.upper() != "NONE" else 0.1,
+                self.keyframe_cloud_cap, target,
+            )
+            return merge(
+                tuple(p.xyz for p in pad),
+                tuple(p.intensity for p in pad),
+                tuple(p.mask for p in pad),
+            )
         w = len(self._w_parts)
         target = 1
         while target < w:
@@ -146,7 +181,10 @@ class GlobalGraph:
         rels = np.stack(
             [rel for _, rel in self._w_parts] + [np.eye(4)] * (target - w)
         ).astype(np.float32)
-        downsampled = self._window_flush(xyzs, intens, masks, jnp.asarray(rels))
+        return self._window_flush(xyzs, intens, masks, jnp.asarray(rels))
+
+    def _flush_window(self) -> None:
+        downsampled = self._window_cloud()
         descriptor = keypoints = None
         if self._w_image is not None:
             descriptor, keypoints = self._extract_orb(self._w_image)
@@ -163,12 +201,99 @@ class GlobalGraph:
         self._w_sensors = {}
         self.keyframe_queue.append(kf)
 
+    def add_scan_batch(
+        self,
+        seq0: int,
+        stamps: np.ndarray,
+        odoms: np.ndarray,
+        chunk: PointCloud,
+        images=None,
+        sensors=None,
+    ) -> None:
+        """Chunk-level `cloud_callback`: C scans arriving as stacked device
+        arrays (C,cap,*) plus host odometry poses (C,4,4).
+
+        Behaviorally equivalent to C `add_scan` calls on prefiltered slices,
+        but the device work per keyframe window is ONE group program
+        (`jit_cache.window_group_fn`) that slices the raw chunk, applies the
+        prefilter's distance band, motion-composes, and voxel-centroids in a
+        single dispatch — per-scan device slicing costs ~50 ms per op
+        through the remote-TPU relay and a separate `/filtered_points`
+        prefilter pass costs ~15 ms/scan, both of which this removes.
+        Windows spanning chunk boundaries accumulate one partial per chunk
+        and dedup-merge at flush.
+        """
+        odoms = np.asarray(odoms, np.float64)
+        stamps = np.asarray(stamps, np.float64)
+        c = odoms.shape[0]
+        triggers, accums = [], []
+        for i in range(c):
+            self.odoms[seq0 + i] = odoms[i]
+            triggers.append(self.updater.update(odoms[i]))
+            accums.append(self.updater.accum_distance)
+
+        group_cap = 16  # bounds the (L,cap,3) in-program window intermediate
+        i = 0
+        while i < c:
+            if triggers[i]:
+                if self._w_odom is not None:
+                    self._flush_window()
+                self._w_parts = []
+                self._w_partials = []
+                self._w_odom = odoms[i]
+                self._w_seq = seq0 + i
+                self._w_stamp = float(stamps[i])
+                self._w_image = images[i] if images is not None else None
+                self._w_accum = accums[i]
+                self._w_sensors = {}
+            j = i + 1
+            while j < c and not triggers[j] and j - i < group_cap:
+                j += 1
+            self._append_group(chunk, odoms, i, j)
+            if sensors is not None:
+                for k in range(i, j):
+                    for key, v in (sensors[k] or {}).items():
+                        if v is not None:
+                            self._w_sensors[key] = v
+            i = j
+
+    def _append_group(self, chunk: PointCloud, odoms: np.ndarray, i: int, j: int) -> None:
+        """Run one window-group program over chunk scans [i, j) and append
+        the resulting partial to the open window."""
+        from lv_slam_tpu.utils.jit_cache import window_group_fn
+
+        length = j - i
+        l2 = 1
+        while l2 < length:
+            l2 *= 2
+        rels = np.stack(
+            [np.linalg.inv(self._w_odom) @ odoms[k] for k in range(i, j)]
+            + [np.eye(4)] * (l2 - length)
+        ).astype(np.float32)
+        valid = np.zeros(l2, bool)
+        valid[:length] = True
+        pf = self.prefilter_cfg
+        near, far = (
+            (pf.distance_near_thresh, pf.distance_far_thresh)
+            if pf.use_distance_filter else (0.0, float("inf"))
+        )
+        res = (
+            pf.downsample_resolution
+            if pf.downsample_method.upper() != "NONE" else 0.1
+        )
+        fn = window_group_fn(near, far, res, self.keyframe_cloud_cap, l2)
+        partial = fn(
+            chunk.xyz, chunk.intensity, chunk.mask,
+            jnp.int32(i), jnp.asarray(rels), jnp.asarray(valid),
+        )
+        self._w_partials.append(partial)
+
     def finish(self) -> None:
         """Flush the trailing window (the reference drops it; we keep it so
         short sequences still produce their last keyframe)."""
-        if self._w_odom is not None and self._w_parts:
+        if self._w_odom is not None and (self._w_parts or self._w_partials):
             self._flush_window()
-            self._w_parts, self._w_odom = [], None
+            self._w_parts, self._w_partials, self._w_odom = [], [], None
 
     def _extract_orb(self, image: np.ndarray):
         from lv_slam_tpu.ops import orb

@@ -72,6 +72,77 @@ def window_flush_fn(resolution: float, out_cap: int):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def window_group_fn(near: float, far: float, resolution: float, out_cap: int,
+                    length: int):
+    """Keyframe-window group program: `length` consecutive RAW scans of a
+    stacked (C, cap) chunk -> ONE distance-filtered, motion-composed,
+    voxel-centroided partial cloud, in a single dispatch.
+
+    This replaces the per-scan backend feed (3 device slice ops per scan
+    cost ~50 ms each through the remote relay) AND the separate
+    `/filtered_points` chunk prefilter: the reference's prefilter semantics
+    (distance band + VOXELGRID centroid, `prefiltering_nodelet.cpp:92-135`)
+    are folded into the window composition (`global_graph_nodelet.cpp:
+    237-244`). Centroiding the union of raw window points at the same
+    resolution differs from per-scan centroid + dedup by at most the voxel
+    radius.
+
+    `length` is static (callers bucket to powers of two <= 16, bounding the
+    (length, cap, 3) in-program intermediate, which the TPU tile-pads 42.7x
+    on the minor dim); parts are selected by a leading-axis row gather so
+    short trailing chunks need no dynamic_slice size games.
+    """
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
+
+    @jax.jit
+    def run(chunk_xyz, chunk_inten, chunk_mask, start, rels, valid):
+        c = chunk_xyz.shape[0]
+        idx = jnp.clip(start + jnp.arange(length, dtype=jnp.int32), 0, c - 1)
+        xyz = chunk_xyz[idx]          # (L, cap, 3) leading-axis row gather
+        inten = chunk_inten[idx]
+        mask = chunk_mask[idx] & valid[:, None]
+        dist = jnp.linalg.norm(jnp.where(mask[..., None], xyz, 0.0), axis=-1)
+        mask = mask & (dist > near) & (dist < far)
+        moved = (
+            jnp.einsum("wij,wnj->wni", rels[:, :3, :3], xyz)
+            + rels[:, None, :3, 3]
+        )
+        moved = jnp.where(mask[..., None], moved, SENTINEL)
+        cloud = PointCloud(
+            moved.reshape(-1, 3), inten.reshape(-1), mask.reshape(-1)
+        )
+        from lv_slam_tpu.ops.prefilter import voxel_downsample
+
+        return voxel_downsample(cloud, resolution, out_cap)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def merge_partials_fn(resolution: float, out_cap: int, n_parts: int):
+    """Merge `n_parts` already-centroided window partials (chunk-boundary
+    case) into one keyframe cloud: concat + dedup-first at the shared
+    resolution (partials are voxel-centroided, so dedup == re-centroid to
+    within the voxel radius)."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import PointCloud
+
+    @jax.jit
+    def run(xyzs, intens, masks):
+        cloud = PointCloud(
+            jnp.concatenate(xyzs), jnp.concatenate(intens), jnp.concatenate(masks)
+        )
+        from lv_slam_tpu.ops.prefilter import voxel_dedup_first
+
+        return voxel_dedup_first(cloud, resolution, out_cap)
+
+    return run
+
+
 @functools.lru_cache(maxsize=32)
 def build_map_fn(resolution: float, leaf_cap: int, lut_extent: int,
                  min_points_per_voxel: int = 6, min_covar_eigvalue_mult: float = 0.01,

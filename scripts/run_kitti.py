@@ -31,11 +31,13 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
     from lv_slam_tpu.lfa.fused import run_sequence_lfa
     from lv_slam_tpu.odometry.fused import run_sequence_fused
     from lv_slam_tpu.pipeline.backend import GlobalGraph
-    from lv_slam_tpu.utils import jit_cache
 
     tr_mat = np.eye(4)
     tr_mat[:3, :4] = tr[:3, :4]
-    backend = GlobalGraph(cfg.graph, cfg.loop, calib_tr=tr_mat, vocabulary=vocabulary)
+    backend = GlobalGraph(
+        cfg.graph, cfg.loop, calib_tr=tr_mat, vocabulary=vocabulary,
+        prefilter_cfg=cfg.prefilter,
+    )
     cap = cfg.prefilter.raw_cap
     odo_state = lfa_state = None
     poses = []
@@ -64,19 +66,23 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
         else:
             refined = odom
         # the backend consumes /filtered_points (dlo_lfa_ggo_kitti.launch:88):
-        # batched device-side prefilter, same chain the host driver applies
-        filt = jit_cache.prefilter_chunk_fn(cfg.prefilter)(
-            PointCloud(xyz, inten, mask)
-        )
+        # the prefilter chain is folded into the chunk-level window-group
+        # programs (backend.add_scan_batch) — no per-scan device slicing
         refined_np = np.asarray(refined, np.float64)
-        for i in range(len(clouds)):
-            fcloud = PointCloud(filt.xyz[i], filt.intensity[i], filt.mask[i])
-            img = None
-            if image_files and seq + i < len(image_files):
-                from lv_slam_tpu.io.kitti import read_image_gray
+        imgs = None
+        if image_files:
+            from lv_slam_tpu.io.kitti import read_image_gray
 
-                img = read_image_gray(image_files[seq + i])
-            backend.add_scan(seq + i, (seq + i) * 0.1, refined_np[i], fcloud, image=img)
+            imgs = [
+                read_image_gray(image_files[seq + i])
+                if seq + i < len(image_files) else None
+                for i in range(len(clouds))
+            ]
+        backend.add_scan_batch(
+            seq, np.arange(seq, seq + len(clouds)) * 0.1, refined_np,
+            PointCloud(xyz, inten, mask), images=imgs,
+        )
+        for i in range(len(clouds)):
             if (seq + i + 1) % optimize_every == 0:
                 backend.optimize()
         seq += len(buf)
@@ -109,7 +115,8 @@ def main():
     ap.add_argument("--optimize-every", type=int, default=100)
     ap.add_argument(
         "--vocab", default=None,
-        help="pretrained BoW vocabulary (.npz from scripts/train_vocab.py); "
+        help="pretrained BoW vocabulary (.npz from scripts/train_vocab.py; a "
+        "shipped asset lives at lv_slam_tpu/assets/vocab_synthetic_512.npz); "
         "without it the loop detector trains one on the sequence's own "
         "keyframes (LoopDetectorConfig.auto_train_vocab)",
     )

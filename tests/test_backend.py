@@ -170,3 +170,59 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
     r2 = pg.optimize_pose_graph(resumed.graph, 16)
     assert np.isfinite(float(r2.chi2_after))
     assert resumed.save_map(str(tmp_path / "resumed_map.pcd"), resolution=0.3)
+
+
+def test_add_scan_batch_parity(circle_run):
+    """Chunk-level `add_scan_batch` (raw chunks + host poses) matches the
+    per-scan `add_scan` path fed prefiltered slices: identical keyframe
+    schedule, equivalent keyframe clouds (centroid of the raw window union
+    vs dedup of per-scan centroids agree to within the voxel radius), and
+    the same loop closure outcome."""
+    import jax
+
+    from lv_slam_tpu.config import PrefilterConfig
+    from lv_slam_tpu.ops.prefilter import prefilter
+
+    scans, gt, odoms, images = circle_run
+    pf_cfg = PrefilterConfig(raw_cap=16384, out_cap=16384)
+    pf = jax.jit(lambda c: prefilter(c, pf_cfg))
+
+    ref = _build_backend()
+    ref.prefilter_cfg = pf_cfg
+    for i, scan in enumerate(scans):
+        cloud = pf(PointCloud.from_numpy(scan, cap=16384))
+        ref.add_scan(i, i * 0.1, odoms[i], cloud, image=images[i])
+        if i % 10 == 9:  # periodic optimize keeps loop-verify guesses sane
+            ref.optimize()
+    ref.finish()
+    while ref.keyframe_queue:
+        ref.optimize()
+
+    bat = _build_backend()
+    bat.prefilter_cfg = pf_cfg
+    chunk = 16
+    for s in range(0, len(scans), chunk):
+        e = min(s + chunk, len(scans))
+        clouds = [PointCloud.from_numpy(scans[k], cap=16384) for k in range(s, e)]
+        stacked = PointCloud(
+            jnp.stack([c.xyz for c in clouds]),
+            jnp.stack([c.intensity for c in clouds]),
+            jnp.stack([c.mask for c in clouds]),
+        )
+        bat.add_scan_batch(
+            s, np.arange(s, e) * 0.1, odoms[s:e], stacked, images=images[s:e]
+        )
+        bat.optimize()
+    bat.finish()
+    while bat.keyframe_queue:
+        bat.optimize()
+
+    assert [k.seq for k in bat.keyframes] == [k.seq for k in ref.keyframes]
+    assert len(ref.loops) >= 1
+    assert len(bat.loops) >= 1
+    for kr, kb in zip(ref.keyframes, bat.keyframes):
+        assert kb.descriptor is not None
+        nr = int(np.asarray(kr.cloud.mask).sum())
+        nb = int(np.asarray(kb.cloud.mask).sum())
+        assert abs(nr - nb) < 0.15 * max(nr, nb), (kr.seq, nr, nb)
+        assert np.linalg.norm(kr.estimate[:3, 3] - kb.estimate[:3, 3]) < 1.0
