@@ -135,6 +135,9 @@ def main():
                 s, e,
                 jnp.asarray(xyz_np[s:e]), jnp.asarray(mask_np[s:e]),
                 jnp.asarray(inten_np[s:e]), jnp.asarray(stamps_np[s:e]),
+                # uint8 (C,H,W) camera stack: the backend batch-extracts ORB
+                # for all keyframe images of the chunk in one dispatch
+                jnp.asarray(np.stack(images[s:e]).astype(np.uint8)),
             ))
 
         if mode == "full":
@@ -173,7 +176,7 @@ def main():
             backend = make_backend() if mode in ("full", "dlo_ggo") else None
             odo_state = lfa_state = None
             all_poses = []
-            for s, e, xyz, mask, inten, stamps in chunks:
+            for s, e, xyz, mask, inten, stamps, imgs_dev in chunks:
                 odom, odo_state = run_sequence_fused(
                     xyz, mask, stamps, cfg.odometry, cfg.prefilter,
                     init_state=odo_state, return_state=True,
@@ -194,7 +197,7 @@ def main():
                     # composition (backend.add_scan_batch)
                     backend.add_scan_batch(
                         s, stamps_np[s:e], poses_np,
-                        PointCloud(xyz, inten, mask), images=images[s:e],
+                        PointCloud(xyz, inten, mask), images=imgs_dev,
                     )
                     # reference optimization cadence: 10 s wall timer
                     # (graph_update_interval) = every ~100 scans at 10 Hz

@@ -173,8 +173,7 @@ def _pack_bits_device(desc_bits: jax.Array) -> jax.Array:
     return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _detect_pyramid(image: jax.Array, k_levels: tuple, threshold: float):
+def _pyramid_body(image: jax.Array, k_levels: tuple, threshold: float):
     """All pyramid levels in ONE program: per level run the FAST+BRIEF
     detector, pack descriptor bits, map keypoints back to level 0, and
     concatenate — a single dispatch + one small packed fetch instead of
@@ -192,6 +191,19 @@ def _detect_pyramid(image: jax.Array, k_levels: tuple, threshold: float):
         jnp.concatenate(kpts),
         jnp.concatenate(valids),
     )
+
+
+_detect_pyramid = functools.partial(jax.jit, static_argnums=(1, 2))(_pyramid_body)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _detect_pyramid_batch(images: jax.Array, k_levels: tuple, threshold: float):
+    """(B,H,W) images -> batched pyramid extraction in ONE dispatch.
+
+    The per-keyframe path costs an image upload + dispatch + 3 fetches of
+    relay latency EACH (~276 ms/keyframe measured); batching every keyframe
+    image of a chunk pays that once per chunk."""
+    return jax.vmap(lambda im: _pyramid_body(im, k_levels, threshold))(images)
 
 
 def unpack_descriptors(desc: np.ndarray) -> np.ndarray:
@@ -328,3 +340,33 @@ class OrbExtractor:
         desc = np.asarray(desc)[v]
         kpts = np.asarray(kpts)[v]
         return desc[: self.max_features], kpts[: self.max_features]
+
+    def _k_levels(self, h: int, w: int) -> tuple:
+        norm = sum(0.75**l for l in range(self.n_levels))
+        out = []
+        for level in range(self.n_levels):
+            if min(h, w) < 2 * (_PATCH_R + 1):
+                break
+            out.append(max(16, int(self.max_features * (0.75**level) / norm)))
+            h //= 2
+            w //= 2
+        return tuple(out)
+
+    def detect_and_compute_batch(self, images: jax.Array):
+        """(B,H,W) DEVICE-RESIDENT images -> list of (descriptors (K,32)
+        uint8, keypoints (K,2)) — one dispatch + one fetch round for the
+        whole batch. Pad B to a power of two upstream to bound compiles."""
+        b, h, w = images.shape
+        k_levels = self._k_levels(h, w)
+        if not k_levels:
+            z = (np.zeros((0, 32), np.uint8), np.zeros((0, 2), np.int32))
+            return [z] * b
+        desc, kpts, valid = _detect_pyramid_batch(images, k_levels, self.threshold)
+        desc = np.asarray(desc)
+        kpts = np.asarray(kpts)
+        valid = np.asarray(valid)
+        out = []
+        for i in range(b):
+            v = valid[i]
+            out.append((desc[i][v][: self.max_features], kpts[i][v][: self.max_features]))
+        return out

@@ -89,6 +89,7 @@ class GlobalGraph:
         self._w_seq = -1
         self._w_stamp = 0.0
         self._w_image = None
+        self._w_orb = None  # batch path: precomputed (descriptor, keypoints)
         self._w_accum = 0.0
         self._w_sensors: dict = {}
 
@@ -123,6 +124,7 @@ class GlobalGraph:
             self._w_seq = seq
             self._w_stamp = stamp
             self._w_image = image
+            self._w_orb = None
             self._w_accum = self.updater.accum_distance
             self._w_sensors = {k: v for k, v in sensors.items() if v is not None}
         elif self._w_odom is not None:
@@ -186,7 +188,9 @@ class GlobalGraph:
     def _flush_window(self) -> None:
         downsampled = self._window_cloud()
         descriptor = keypoints = None
-        if self._w_image is not None:
+        if self._w_orb is not None:
+            descriptor, keypoints = self._w_orb
+        elif self._w_image is not None:
             descriptor, keypoints = self._extract_orb(self._w_image)
         kf = KeyFrame(
             stamp=self._w_stamp,
@@ -222,6 +226,13 @@ class GlobalGraph:
         prefilter pass costs ~15 ms/scan, both of which this removes.
         Windows spanning chunk boundaries accumulate one partial per chunk
         and dedup-merge at flush.
+
+        `images` may be a host list (one optional (H,W) array per scan) or a
+        DEVICE-RESIDENT (C,H,W) stack: device stacks run ORB for every
+        window-opening scan of the chunk in ONE batched dispatch
+        (`OrbExtractor.detect_and_compute_batch`) — the per-keyframe path
+        pays an image upload + dispatch + fetch round of relay latency each
+        (~276 ms/keyframe measured on the remote-TPU rig).
         """
         odoms = np.asarray(odoms, np.float64)
         stamps = np.asarray(stamps, np.float64)
@@ -231,6 +242,27 @@ class GlobalGraph:
             self.odoms[seq0 + i] = odoms[i]
             triggers.append(self.updater.update(odoms[i]))
             accums.append(self.updater.accum_distance)
+
+        orb_batch = {}
+        images_on_device = images is not None and hasattr(images, "ndim")
+        if images_on_device:
+            opened = [i for i in range(c) if triggers[i]]
+            if opened:
+                import jax.numpy as jnp
+
+                if self._orb is None:
+                    from lv_slam_tpu.ops import orb
+
+                    self._orb = orb.OrbExtractor(
+                        max_features=self.loop_cfg.descriptor_cap
+                    )
+                b2 = 1
+                while b2 < len(opened):
+                    b2 *= 2
+                idx = opened + [opened[0]] * (b2 - len(opened))
+                rows = images[jnp.asarray(idx, jnp.int32)]
+                results = self._orb.detect_and_compute_batch(rows)
+                orb_batch = dict(zip(opened, results[: len(opened)]))
 
         group_cap = 16  # bounds the (L,cap,3) in-program window intermediate
         i = 0
@@ -243,7 +275,12 @@ class GlobalGraph:
                 self._w_odom = odoms[i]
                 self._w_seq = seq0 + i
                 self._w_stamp = float(stamps[i])
-                self._w_image = images[i] if images is not None else None
+                if images_on_device:
+                    self._w_image = None
+                    self._w_orb = orb_batch.get(i)
+                else:
+                    self._w_image = images[i] if images is not None else None
+                    self._w_orb = None
                 self._w_accum = accums[i]
                 self._w_sensors = {}
             j = i + 1

@@ -78,6 +78,11 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
                 if seq + i < len(image_files) else None
                 for i in range(len(clouds))
             ]
+            shapes = {im.shape for im in imgs if im is not None}
+            if None not in imgs and len(shapes) == 1:
+                # uniform chunk: upload the uint8 stack once so the backend
+                # batch-extracts ORB in one dispatch (see add_scan_batch)
+                imgs = jnp.asarray(np.stack(imgs).astype(np.uint8))
         backend.add_scan_batch(
             seq, np.arange(seq, seq + len(clouds)) * 0.1, refined_np,
             PointCloud(xyz, inten, mask), images=imgs,

@@ -209,8 +209,10 @@ def test_add_scan_batch_parity(circle_run):
             jnp.stack([c.intensity for c in clouds]),
             jnp.stack([c.mask for c in clouds]),
         )
+        # device-resident uint8 image stack: exercises the batched-ORB path
+        img_stack = jnp.asarray(np.stack(images[s:e]).astype(np.uint8))
         bat.add_scan_batch(
-            s, np.arange(s, e) * 0.1, odoms[s:e], stacked, images=images[s:e]
+            s, np.arange(s, e) * 0.1, odoms[s:e], stacked, images=img_stack
         )
         bat.optimize()
     bat.finish()

@@ -144,3 +144,19 @@ def test_inverted_index_matches_direct_scores(revisit_corpus):
     # subset restriction honored
     sub = index.query(vecs[0], subset={1, 2})
     assert set(sub.keys()) <= {1, 2}
+
+
+def test_orb_batch_matches_single(views):
+    """detect_and_compute_batch on a device uint8 stack == per-image
+    detect_and_compute (same pyramid program, vmapped)."""
+    import jax.numpy as jnp
+
+    img_a, img_a2, img_b = views
+    orb = OrbExtractor(max_features=256)
+    stack = jnp.asarray(np.stack([img_a, img_a2, img_b]).astype(np.uint8))
+    batched = orb.detect_and_compute_batch(stack)
+    for img, (bd, bk) in zip((img_a, img_a2, img_b), batched):
+        sd, sk = orb.detect_and_compute(img)
+        assert bd.shape == sd.shape and bk.shape == sk.shape
+        assert np.array_equal(bd, sd)
+        assert np.array_equal(bk, sk)
