@@ -172,14 +172,40 @@ def main():
 
         def run_chain(with_lfa):
             """One full-pipeline pass, chunked exactly like
-            `run_kitti.py --fused`; returns the final (host) pose array."""
+            `run_kitti.py --fused`; returns the final (host) pose array.
+
+            Two-stage software pipeline (the reference's nodelets are async
+            for the same reason): chunk k's odometry+LFA programs are
+            dispatched BEFORE chunk k-1's pose fetch + backend host work, so
+            the host/relay side of the backend overlaps device compute."""
             backend = make_backend() if mode in ("full", "dlo_ggo") else None
             odo_state = lfa_state = None
             all_poses = []
+            pending = None
+
+            def drain(p):
+                s, e, refined, cloud, imgs = p
+                poses_np = np.asarray(refined)  # the chunk sync point
+                if backend is not None:
+                    # chunk-level backend feed: keyframe gates run on host
+                    # poses; the cloud is the odometry program's
+                    # /filtered_points product, so each window segment is
+                    # one motion-compose + dedup program
+                    backend.add_scan_batch(
+                        s, stamps_np[s:e], poses_np, cloud, images=imgs,
+                        filtered=True,
+                    )
+                    # reference optimization cadence: 10 s wall timer
+                    # (graph_update_interval) = every ~100 scans at 10 Hz
+                    if any((i + 1) % 100 == 0 for i in range(s, e)):
+                        backend.optimize()
+                all_poses.append(poses_np)
+
             for s, e, xyz, mask, inten, stamps, imgs_dev in chunks:
-                odom, odo_state = run_sequence_fused(
+                (odom, filt), odo_state = run_sequence_fused(
                     xyz, mask, stamps, cfg.odometry, cfg.prefilter,
                     init_state=odo_state, return_state=True,
+                    inten=inten, return_filtered=True,
                 )
                 if with_lfa:
                     # lfa consumes the RAW scan like the reference's A-LOAM
@@ -189,21 +215,10 @@ def main():
                     )
                 else:
                     refined = odom
-                poses_np = np.asarray(refined)  # the chunk sync point
-                if backend is not None:
-                    # chunk-level backend feed: keyframe gates run on host
-                    # poses; each window segment is ONE device program that
-                    # folds the /filtered_points prefilter into the window
-                    # composition (backend.add_scan_batch)
-                    backend.add_scan_batch(
-                        s, stamps_np[s:e], poses_np,
-                        PointCloud(xyz, inten, mask), images=imgs_dev,
-                    )
-                    # reference optimization cadence: 10 s wall timer
-                    # (graph_update_interval) = every ~100 scans at 10 Hz
-                    if any((i + 1) % 100 == 0 for i in range(s, e)):
-                        backend.optimize()
-                all_poses.append(poses_np)
+                if pending is not None:
+                    drain(pending)
+                pending = (s, e, refined, PointCloud(*filt), imgs_dev)
+            drain(pending)
             if backend is not None:
                 backend.finish()
                 while backend.keyframe_queue:

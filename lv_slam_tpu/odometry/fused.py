@@ -41,12 +41,18 @@ class FusedState(NamedTuple):
     scan_idx: jax.Array        # () int32
 
 
-def _prefilter(cloud: PointCloud, cfg: PrefilterConfig, scan_matching_cap: int = 0) -> PointCloud:
+def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
+    """The `/filtered_points` product: distance band + voxel centroid."""
     out = cloud
     if cfg.use_distance_filter:
         out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
     if cfg.downsample_method.upper() in ("VOXELGRID", "APPROX_VOXELGRID"):
         out = voxel_downsample(out, cfg.downsample_resolution, cfg.out_cap, cfg.downsample_method)
+    return out
+
+
+def _prefilter(cloud: PointCloud, cfg: PrefilterConfig, scan_matching_cap: int = 0) -> PointCloud:
+    out = _prefilter_mid(cloud, cfg)
     if scan_matching_cap and scan_matching_cap < out.cap:
         # bounded-lane scan matching (OdometryConfig.scan_matching_cap)
         out = uniform_subsample(out, scan_matching_cap)
@@ -134,7 +140,18 @@ def _make_ops(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
     return build, align, align_retry, score_at
 
 
-def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
+def make_fused_step(
+    cfg: OdometryConfig,
+    prefilter_cfg: PrefilterConfig | None,
+    emit_filtered: bool = False,
+):
+    """`emit_filtered=True` additionally outputs each scan's prefiltered
+    cloud (distance band + voxel centroid, BEFORE the scan-matching
+    subsample) as `(xyz (3,out_cap), intensity (out_cap,), mask (out_cap,))`
+    — the `/filtered_points` product the reference's prefiltering nodelet
+    publishes to the backend (`prefiltering_nodelet.cpp:92-135`). The xyz
+    rides TRANSPOSED so the stacked (N,3,cap) scan output keeps `cap` on
+    the minor dim (a (N,cap,3) stack is tile-padded 42.7x in HBM)."""
     ndt = cfg.ndt
     build, align, align_retry, score_at = _make_ops(cfg, prefilter_cfg)
 
@@ -156,10 +173,15 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
         )
 
     def step(state: FusedState, cloud: PointCloud, stamp) -> Tuple[FusedState, jax.Array]:
-        filtered = (
-            _prefilter(cloud, prefilter_cfg, cfg.scan_matching_cap)
-            if prefilter_cfg else cloud
-        )
+        if prefilter_cfg is not None:
+            mid = _prefilter_mid(cloud, prefilter_cfg)
+            filtered = (
+                uniform_subsample(mid, cfg.scan_matching_cap)
+                if cfg.scan_matching_cap and cfg.scan_matching_cap < mid.cap
+                else mid
+            )
+        else:
+            mid = filtered = cloud
         result = align(state.key_map, filtered, state.guess)
         # the reference aligns scan 1 twice, re-seeded (:223-227); only pay
         # for it on scan 1
@@ -214,7 +236,10 @@ def make_fused_step(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
             keyframe_stamp=jnp.where(switch, jnp.float32(stamp), state.keyframe_stamp),
             scan_idx=state.scan_idx + 1,
         )
-        return new_state, (odom, result.iterations, switch)
+        out = (odom, result.iterations, switch)
+        if emit_filtered:
+            out = out + ((mid.xyz.T, mid.intensity, mid.mask),)
+        return new_state, out
 
     return init_state, step
 
@@ -229,6 +254,8 @@ def run_sequence_fused(
     use_scan: bool = True,
     init_state: FusedState | None = None,
     return_state: bool = False,
+    inten: jax.Array | None = None,
+    return_filtered: bool = False,
 ):
     """(N,cap,3), (N,cap), (N,) -> (N,4,4) poses.
 
@@ -244,7 +271,16 @@ def run_sequence_fused(
     back as `init_state` for the next chunk — with `init_state` set, ALL N
     scans are odometry steps (no scan-0 map init) and chunked results equal
     the unchunked run exactly.
+
+    `return_filtered=True` (scan path only) additionally returns the
+    per-scan `/filtered_points` clouds as `(xyz (N,3,out_cap), intensity
+    (N,out_cap), mask (N,out_cap))` — the prefilter product the backend
+    consumes, computed once inside the odometry program instead of by a
+    second pass (see `make_fused_step`). Pass `inten` to carry real
+    intensities through (defaults to zeros).
     """
+    if return_filtered and not use_scan:
+        raise ValueError("return_filtered requires the lax.scan path")
     if not use_scan:
         jinit, jstep = _jitted_step_cache(cfg, prefilter_cfg)
         n, cap = xyz.shape[0], xyz.shape[1]
@@ -269,51 +305,78 @@ def run_sequence_fused(
         out = (out_poses, jnp.stack(iters), jnp.stack(switches)) if with_stats else out_poses
         return (out, state) if return_state else out
 
+    if inten is None:
+        inten = jnp.zeros(xyz.shape[:2], jnp.float32)
     if init_state is None:
-        run = _jitted_scan_cache(cfg, prefilter_cfg)
-        state, (poses, iters, switches) = run(xyz, mask, stamps)
+        run = _jitted_scan_cache(cfg, prefilter_cfg, return_filtered)
+        state, outs = run(xyz, mask, stamps, inten)
+        poses, iters, switches = outs[:3]
         eye = jnp.eye(4, dtype=jnp.float32)[None]
         out_poses = jnp.concatenate([eye, poses], axis=0)
         iters = jnp.concatenate([jnp.zeros(1, jnp.int32), iters])
         switches = jnp.concatenate([jnp.zeros(1, bool), switches])
+        filtered = outs[3] if return_filtered else None
     else:
-        run = _jitted_scan_cont_cache(cfg, prefilter_cfg)
-        state, (out_poses, iters, switches) = run(init_state, xyz, mask, stamps)
+        run = _jitted_scan_cont_cache(cfg, prefilter_cfg, return_filtered)
+        state, outs = run(init_state, xyz, mask, stamps, inten)
+        out_poses, iters, switches = outs[:3]
+        filtered = outs[3] if return_filtered else None
     out = (out_poses, iters, switches) if with_stats else out_poses
+    if return_filtered:
+        out = (out, filtered) if not isinstance(out, tuple) else out + (filtered,)
     return (out, state) if return_state else out
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_scan_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
-    init_state, step = make_fused_step(cfg, prefilter_cfg)
+def _jitted_scan_cache(
+    cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None,
+    emit_filtered: bool = False,
+):
+    init_state, step = make_fused_step(cfg, prefilter_cfg, emit_filtered)
 
     @jax.jit
-    def run(xyz, mask, stamps):
-        state0 = init_state(PointCloud(xyz[0], jnp.zeros(xyz.shape[1]), mask[0]), stamps[0])
+    def run(xyz, mask, stamps, inten):
+        cloud0 = PointCloud(xyz[0], inten[0], mask[0])
+        state0 = init_state(cloud0, stamps[0])
 
         def body(state, inputs):
-            x, m, t = inputs
-            st, out = step(state, PointCloud(x, jnp.zeros(x.shape[0]), m), t)
+            x, m, t, i = inputs
+            st, out = step(state, PointCloud(x, i, m), t)
             return st, out
 
-        return jax.lax.scan(body, state0, (xyz[1:], mask[1:], stamps[1:]))
+        state, outs = jax.lax.scan(
+            body, state0, (xyz[1:], mask[1:], stamps[1:], inten[1:])
+        )
+        if emit_filtered:
+            # scan 0 has no step output; prepend its /filtered_points product
+            mid0 = _prefilter_mid(cloud0, prefilter_cfg)
+            fx, fi, fm = outs[3]
+            outs = outs[:3] + ((
+                jnp.concatenate([mid0.xyz.T[None], fx], axis=0),
+                jnp.concatenate([mid0.intensity[None], fi], axis=0),
+                jnp.concatenate([mid0.mask[None], fm], axis=0),
+            ),)
+        return state, outs
 
     return run
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_scan_cont_cache(cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None):
+def _jitted_scan_cont_cache(
+    cfg: OdometryConfig, prefilter_cfg: PrefilterConfig | None,
+    emit_filtered: bool = False,
+):
     """Continuation program: every scan is an odometry step (chunk 2+)."""
-    _, step = make_fused_step(cfg, prefilter_cfg)
+    _, step = make_fused_step(cfg, prefilter_cfg, emit_filtered)
 
     @jax.jit
-    def run(state0, xyz, mask, stamps):
+    def run(state0, xyz, mask, stamps, inten):
         def body(state, inputs):
-            x, m, t = inputs
-            st, out = step(state, PointCloud(x, jnp.zeros(x.shape[0]), m), t)
+            x, m, t, i = inputs
+            st, out = step(state, PointCloud(x, i, m), t)
             return st, out
 
-        return jax.lax.scan(body, state0, (xyz, mask, stamps))
+        return jax.lax.scan(body, state0, (xyz, mask, stamps, inten))
 
     return run
 

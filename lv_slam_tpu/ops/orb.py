@@ -198,12 +198,22 @@ _detect_pyramid = functools.partial(jax.jit, static_argnums=(1, 2))(_pyramid_bod
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _detect_pyramid_batch(images: jax.Array, k_levels: tuple, threshold: float):
-    """(B,H,W) images -> batched pyramid extraction in ONE dispatch.
+    """(B,H,W) images -> batched pyramid extraction in ONE dispatch,
+    results packed into ONE (B,K,37) uint8 buffer for a single fetch.
 
-    The per-keyframe path costs an image upload + dispatch + 3 fetches of
-    relay latency EACH (~276 ms/keyframe measured); batching every keyframe
-    image of a chunk pays that once per chunk."""
-    return jax.vmap(lambda im: _pyramid_body(im, k_levels, threshold))(images)
+    Layout per row: desc[0:32] | kpt_y int16 LE [32:34] | kpt_x int16 LE
+    [34:36] | valid [36]. The per-keyframe path costs an image upload +
+    dispatch + fetch rounds of relay latency EACH (~276 ms/keyframe
+    measured); batching pays one dispatch + one fetch per chunk."""
+    desc, kpts, valid = jax.vmap(
+        lambda im: _pyramid_body(im, k_levels, threshold)
+    )(images)
+    kp16 = jax.lax.bitcast_convert_type(kpts.astype(jnp.int16), jnp.uint8)
+    b, k = desc.shape[:2]
+    return jnp.concatenate(
+        [desc, kp16.reshape(b, k, 4), valid[..., None].astype(jnp.uint8)],
+        axis=-1,
+    )
 
 
 def unpack_descriptors(desc: np.ndarray) -> np.ndarray:
@@ -361,10 +371,12 @@ class OrbExtractor:
         if not k_levels:
             z = (np.zeros((0, 32), np.uint8), np.zeros((0, 2), np.int32))
             return [z] * b
-        desc, kpts, valid = _detect_pyramid_batch(images, k_levels, self.threshold)
-        desc = np.asarray(desc)
-        kpts = np.asarray(kpts)
-        valid = np.asarray(valid)
+        packed = np.asarray(_detect_pyramid_batch(images, k_levels, self.threshold))
+        desc = packed[:, :, :32]
+        kpts = (
+            packed[:, :, 32:36].copy().view(np.int16).astype(np.int32).reshape(b, -1, 2)
+        )
+        valid = packed[:, :, 36].astype(bool)
         out = []
         for i in range(b):
             v = valid[i]

@@ -213,6 +213,7 @@ class GlobalGraph:
         chunk: PointCloud,
         images=None,
         sensors=None,
+        filtered: bool = False,
     ) -> None:
         """Chunk-level `cloud_callback`: C scans arriving as stacked device
         arrays (C,cap,*) plus host odometry poses (C,4,4).
@@ -233,6 +234,14 @@ class GlobalGraph:
         (`OrbExtractor.detect_and_compute_batch`) — the per-keyframe path
         pays an image upload + dispatch + fetch round of relay latency each
         (~276 ms/keyframe measured on the remote-TPU rig).
+
+        `filtered=True`: `chunk` holds the odometry program's
+        `/filtered_points` product (xyz TRANSPOSED (C,3,cap), already
+        distance-banded + voxel-centroided;
+        `run_sequence_fused(return_filtered=True)`) — the window group then
+        only motion-composes + dedups, skipping a second prefilter pass
+        over raw rows (the reference's backend likewise consumes
+        `/filtered_points`, not `/velodyne_points`).
         """
         odoms = np.asarray(odoms, np.float64)
         stamps = np.asarray(stamps, np.float64)
@@ -286,7 +295,7 @@ class GlobalGraph:
             j = i + 1
             while j < c and not triggers[j] and j - i < group_cap:
                 j += 1
-            self._append_group(chunk, odoms, i, j)
+            self._append_group(chunk, odoms, i, j, filtered)
             if sensors is not None:
                 for k in range(i, j):
                     for key, v in (sensors[k] or {}).items():
@@ -294,10 +303,16 @@ class GlobalGraph:
                             self._w_sensors[key] = v
             i = j
 
-    def _append_group(self, chunk: PointCloud, odoms: np.ndarray, i: int, j: int) -> None:
+    def _append_group(
+        self, chunk: PointCloud, odoms: np.ndarray, i: int, j: int,
+        filtered: bool = False,
+    ) -> None:
         """Run one window-group program over chunk scans [i, j) and append
         the resulting partial to the open window."""
-        from lv_slam_tpu.utils.jit_cache import window_group_fn
+        from lv_slam_tpu.utils.jit_cache import (
+            window_group_filtered_fn,
+            window_group_fn,
+        )
 
         length = j - i
         l2 = 1
@@ -310,15 +325,18 @@ class GlobalGraph:
         valid = np.zeros(l2, bool)
         valid[:length] = True
         pf = self.prefilter_cfg
-        near, far = (
-            (pf.distance_near_thresh, pf.distance_far_thresh)
-            if pf.use_distance_filter else (0.0, float("inf"))
-        )
         res = (
             pf.downsample_resolution
             if pf.downsample_method.upper() != "NONE" else 0.1
         )
-        fn = window_group_fn(near, far, res, self.keyframe_cloud_cap, l2)
+        if filtered:
+            fn = window_group_filtered_fn(res, self.keyframe_cloud_cap, l2)
+        else:
+            near, far = (
+                (pf.distance_near_thresh, pf.distance_far_thresh)
+                if pf.use_distance_filter else (0.0, float("inf"))
+            )
+            fn = window_group_fn(near, far, res, self.keyframe_cloud_cap, l2)
         partial = fn(
             chunk.xyz, chunk.intensity, chunk.mask,
             jnp.int32(i), jnp.asarray(rels), jnp.asarray(valid),

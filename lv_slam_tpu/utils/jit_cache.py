@@ -121,6 +121,45 @@ def window_group_fn(near: float, far: float, resolution: float, out_cap: int,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def window_group_filtered_fn(resolution: float, out_cap: int, length: int):
+    """Keyframe-window group program over ALREADY-PREFILTERED scans.
+
+    Inputs are the odometry program's `/filtered_points` product
+    (`odometry/fused.run_sequence_fused(return_filtered=True)`): xyz stacked
+    TRANSPOSED (C, 3, cap) so `cap` rides the minor dim (a (C, cap, 3)
+    stack tile-pads 42.7x in HBM). Each scan is already distance-banded and
+    voxel-centroided at `resolution`, so the union needs only motion-compose
+    + dedup-first (== the reference's re-voxelization of the accumulated
+    w_cloud, `global_graph_nodelet.cpp:213-217`, to within the voxel
+    radius) — no second prefilter pass over raw rows.
+    """
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
+
+    @jax.jit
+    def run(chunk_xyz_t, chunk_inten, chunk_mask, start, rels, valid):
+        c = chunk_xyz_t.shape[0]
+        idx = jnp.clip(start + jnp.arange(length, dtype=jnp.int32), 0, c - 1)
+        xyz = jnp.swapaxes(chunk_xyz_t[idx], 1, 2)  # (L, cap, 3)
+        inten = chunk_inten[idx]
+        mask = chunk_mask[idx] & valid[:, None]
+        moved = (
+            jnp.einsum("wij,wnj->wni", rels[:, :3, :3], xyz)
+            + rels[:, None, :3, 3]
+        )
+        moved = jnp.where(mask[..., None], moved, SENTINEL)
+        cloud = PointCloud(
+            moved.reshape(-1, 3), inten.reshape(-1), mask.reshape(-1)
+        )
+        from lv_slam_tpu.ops.prefilter import voxel_dedup_first
+
+        return voxel_dedup_first(cloud, resolution, out_cap)
+
+    return run
+
+
 @functools.lru_cache(maxsize=32)
 def merge_partials_fn(resolution: float, out_cap: int, n_parts: int):
     """Merge `n_parts` already-centroided window partials (chunk-boundary

@@ -42,18 +42,37 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
     odo_state = lfa_state = None
     poses = []
     seq = 0
+    pending = None
     t0 = time.perf_counter()
 
+    def drain(p):
+        """Fetch chunk k-1's poses and run its backend host work — called
+        AFTER chunk k's device programs are dispatched, so this overlaps
+        device compute (the reference's nodelets pipeline the same way)."""
+        p_seq, n, refined, cloud, imgs = p
+        refined_np = np.asarray(refined, np.float64)
+        backend.add_scan_batch(
+            p_seq, np.arange(p_seq, p_seq + n) * 0.1, refined_np,
+            cloud, images=imgs, filtered=True,
+        )
+        for i in range(n):
+            if (p_seq + i + 1) % optimize_every == 0:
+                backend.optimize()
+        poses.extend(refined_np)
+        rate = (p_seq + n) / (time.perf_counter() - t0)
+        print(f"scan {p_seq + n}/{len(scan_files)}  {rate:.1f} scans/s")
+
     def flush(buf):
-        nonlocal odo_state, lfa_state, seq
+        nonlocal odo_state, lfa_state, seq, pending
         clouds = [PointCloud.from_numpy(s, cap=cap) for s in buf]
         xyz = jnp.stack([c.xyz for c in clouds])
         mask = jnp.stack([c.mask for c in clouds])
         inten = jnp.stack([c.intensity for c in clouds])
         stamps = (jnp.arange(len(buf), dtype=jnp.float32) + seq) * 0.1
-        odom, odo_state = run_sequence_fused(
+        (odom, filt), odo_state = run_sequence_fused(
             xyz, mask, stamps, cfg.odometry, cfg.prefilter,
             init_state=odo_state, return_state=True,
+            inten=inten, return_filtered=True,
         )
         if use_lfa and cfg.lfa is not None:
             # the lfa stage consumes the RAW scan like the reference's A-LOAM
@@ -68,7 +87,6 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
         # the backend consumes /filtered_points (dlo_lfa_ggo_kitti.launch:88):
         # the prefilter chain is folded into the chunk-level window-group
         # programs (backend.add_scan_batch) — no per-scan device slicing
-        refined_np = np.asarray(refined, np.float64)
         imgs = None
         if image_files:
             from lv_slam_tpu.io.kitti import read_image_gray
@@ -79,21 +97,16 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
                 for i in range(len(clouds))
             ]
             shapes = {im.shape for im in imgs if im is not None}
-            if None not in imgs and len(shapes) == 1:
+            if all(im is not None for im in imgs) and len(shapes) == 1:
                 # uniform chunk: upload the uint8 stack once so the backend
                 # batch-extracts ORB in one dispatch (see add_scan_batch)
                 imgs = jnp.asarray(np.stack(imgs).astype(np.uint8))
-        backend.add_scan_batch(
-            seq, np.arange(seq, seq + len(clouds)) * 0.1, refined_np,
-            PointCloud(xyz, inten, mask), images=imgs,
+        prev, pending = pending, (
+            seq, len(clouds), refined, PointCloud(*filt), imgs
         )
-        for i in range(len(clouds)):
-            if (seq + i + 1) % optimize_every == 0:
-                backend.optimize()
+        if prev is not None:
+            drain(prev)
         seq += len(buf)
-        poses.extend(refined_np)
-        rate = seq / (time.perf_counter() - t0)
-        print(f"scan {seq}/{len(scan_files)}  {rate:.1f} scans/s")
 
     buf = []
     with native.ScanPrefetcher(scan_files) as prefetcher:
@@ -104,6 +117,8 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
                 buf = []
     if buf:
         flush(buf)
+    if pending is not None:
+        drain(pending)
     backend.finish()
     while backend.keyframe_queue:
         backend.optimize()

@@ -173,11 +173,13 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
 
 
 def test_add_scan_batch_parity(circle_run):
-    """Chunk-level `add_scan_batch` (raw chunks + host poses) matches the
-    per-scan `add_scan` path fed prefiltered slices: identical keyframe
-    schedule, equivalent keyframe clouds (centroid of the raw window union
-    vs dedup of per-scan centroids agree to within the voxel radius), and
-    the same loop closure outcome."""
+    """Chunk-level `add_scan_batch` matches the per-scan `add_scan` path fed
+    prefiltered slices: identical keyframe schedule, equivalent keyframe
+    clouds (window-union centroid/dedup variants agree to within the voxel
+    radius), and the same loop closure outcome. Covers BOTH batch layouts:
+    raw chunks (the group program prefilters) and the production
+    `filtered=True` path (transposed pre-filtered stacks, as produced by
+    `run_sequence_fused(return_filtered=True)`)."""
     import jax
 
     from lv_slam_tpu.config import PrefilterConfig
@@ -189,8 +191,10 @@ def test_add_scan_batch_parity(circle_run):
 
     ref = _build_backend()
     ref.prefilter_cfg = pf_cfg
+    filt_clouds = []
     for i, scan in enumerate(scans):
         cloud = pf(PointCloud.from_numpy(scan, cap=16384))
+        filt_clouds.append(cloud)
         ref.add_scan(i, i * 0.1, odoms[i], cloud, image=images[i])
         if i % 10 == 9:  # periodic optimize keeps loop-verify guesses sane
             ref.optimize()
@@ -198,33 +202,45 @@ def test_add_scan_batch_parity(circle_run):
     while ref.keyframe_queue:
         ref.optimize()
 
-    bat = _build_backend()
-    bat.prefilter_cfg = pf_cfg
-    chunk = 16
-    for s in range(0, len(scans), chunk):
-        e = min(s + chunk, len(scans))
-        clouds = [PointCloud.from_numpy(scans[k], cap=16384) for k in range(s, e)]
-        stacked = PointCloud(
-            jnp.stack([c.xyz for c in clouds]),
-            jnp.stack([c.intensity for c in clouds]),
-            jnp.stack([c.mask for c in clouds]),
-        )
-        # device-resident uint8 image stack: exercises the batched-ORB path
-        img_stack = jnp.asarray(np.stack(images[s:e]).astype(np.uint8))
-        bat.add_scan_batch(
-            s, np.arange(s, e) * 0.1, odoms[s:e], stacked, images=img_stack
-        )
-        bat.optimize()
-    bat.finish()
-    while bat.keyframe_queue:
-        bat.optimize()
+    def run_batch(filtered):
+        bat = _build_backend()
+        bat.prefilter_cfg = pf_cfg
+        chunk = 16
+        for s in range(0, len(scans), chunk):
+            e = min(s + chunk, len(scans))
+            if filtered:
+                stacked = PointCloud(
+                    jnp.stack([jnp.swapaxes(filt_clouds[k].xyz, 0, 1) for k in range(s, e)]),
+                    jnp.stack([filt_clouds[k].intensity for k in range(s, e)]),
+                    jnp.stack([filt_clouds[k].mask for k in range(s, e)]),
+                )
+            else:
+                clouds = [PointCloud.from_numpy(scans[k], cap=16384) for k in range(s, e)]
+                stacked = PointCloud(
+                    jnp.stack([c.xyz for c in clouds]),
+                    jnp.stack([c.intensity for c in clouds]),
+                    jnp.stack([c.mask for c in clouds]),
+                )
+            # device-resident uint8 image stack: exercises the batched-ORB path
+            img_stack = jnp.asarray(np.stack(images[s:e]).astype(np.uint8))
+            bat.add_scan_batch(
+                s, np.arange(s, e) * 0.1, odoms[s:e], stacked,
+                images=img_stack, filtered=filtered,
+            )
+            bat.optimize()
+        bat.finish()
+        while bat.keyframe_queue:
+            bat.optimize()
+        return bat
 
-    assert [k.seq for k in bat.keyframes] == [k.seq for k in ref.keyframes]
     assert len(ref.loops) >= 1
-    assert len(bat.loops) >= 1
-    for kr, kb in zip(ref.keyframes, bat.keyframes):
-        assert kb.descriptor is not None
-        nr = int(np.asarray(kr.cloud.mask).sum())
-        nb = int(np.asarray(kb.cloud.mask).sum())
-        assert abs(nr - nb) < 0.15 * max(nr, nb), (kr.seq, nr, nb)
-        assert np.linalg.norm(kr.estimate[:3, 3] - kb.estimate[:3, 3]) < 1.0
+    for filtered in (False, True):
+        bat = run_batch(filtered)
+        assert [k.seq for k in bat.keyframes] == [k.seq for k in ref.keyframes]
+        assert len(bat.loops) >= 1, f"filtered={filtered}"
+        for kr, kb in zip(ref.keyframes, bat.keyframes):
+            assert kb.descriptor is not None
+            nr = int(np.asarray(kr.cloud.mask).sum())
+            nb = int(np.asarray(kb.cloud.mask).sum())
+            assert abs(nr - nb) < 0.15 * max(nr, nb), (filtered, kr.seq, nr, nb)
+            assert np.linalg.norm(kr.estimate[:3, 3] - kb.estimate[:3, 3]) < 1.0

@@ -85,3 +85,37 @@ def test_fused_with_prefilter(small_sequence):
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     final_err = np.linalg.norm(poses[-1][:3, 3] - gt_rel[-1][:3, 3])
     assert final_err < 0.25, final_err
+
+
+def test_return_filtered_matches_standalone_prefilter(small_sequence):
+    """The /filtered_points product emitted by the fused odometry scan
+    (return_filtered=True, transposed layout) equals the standalone
+    distance-band + voxel-centroid chain applied per scan."""
+    import jax
+
+    from lv_slam_tpu.odometry.fused import _prefilter_mid
+
+    scans, gt, _ = small_sequence
+    cap = 32768
+    cfg = OdometryConfig(ndt=NDTConfig(leaf_cap=16384, lut_extent=256))
+    pf = PrefilterConfig(raw_cap=cap, out_cap=cap)
+    stamps = jnp.arange(len(scans), dtype=jnp.float32) * 0.1
+    xyz, mask = _stack(scans, cap)
+    inten = jnp.zeros(xyz.shape[:2], jnp.float32) + 0.5
+
+    (poses, filt) = run_sequence_fused(
+        xyz, mask, stamps, cfg, pf, inten=inten, return_filtered=True
+    )
+    fxyz, finten, fmask = filt
+    assert fxyz.shape == (len(scans), 3, cap)
+
+    mid = jax.jit(lambda c: _prefilter_mid(c, pf))
+    for i in range(len(scans)):
+        want = mid(PointCloud(xyz[i], inten[i], mask[i]))
+        np.testing.assert_array_equal(np.asarray(fmask[i]), np.asarray(want.mask))
+        np.testing.assert_allclose(
+            np.asarray(fxyz[i]).T, np.asarray(want.xyz), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(finten[i]), np.asarray(want.intensity), atol=1e-5
+        )
