@@ -270,32 +270,35 @@ def main():
 
             from lv_slam_tpu.parallel.fleet import run_fleet_odometry
 
-            f_cap = 65536
-            f_pf = dataclasses.replace(cfg.prefilter, raw_cap=f_cap, out_cap=f_cap)
-            f_clouds = [PointCloud.from_numpy(s, cap=f_cap) for s in scans[:40]]
-            fx = np.stack([np.asarray(c.xyz) for c in f_clouds])
-            fm = np.stack([np.asarray(c.mask) for c in f_clouds])
-            mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
-            n_fleet = 32
-            rate = {}
-            for lanes in (1, 4):
-                sx = jnp.asarray(
-                    np.stack([fx[i * 2 : i * 2 + n_fleet] for i in range(lanes)])
-                )
-                sm = jnp.asarray(
-                    np.stack([fm[i * 2 : i * 2 + n_fleet] for i in range(lanes)])
-                )
-                st = jnp.asarray(np.stack([stamps_np[:n_fleet]] * lanes))
-                args = (mesh, sx, sm, st, cfg.odometry, cfg.lfa, f_pf)
-                np.asarray(run_fleet_odometry(*args))  # warm/compile
-                best = np.inf
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    np.asarray(run_fleet_odometry(*args))
-                    best = min(best, time.perf_counter() - t0)
-                rate[lanes] = lanes * n_fleet / best
-            extra["fleet_scans_per_sec_per_lane_b4"] = round(rate[4] / 4, 2)
-            extra["fleet_throughput_retention_b4"] = round(rate[4] / rate[1], 2)
+            try:
+                f_cap = 65536
+                f_pf = dataclasses.replace(cfg.prefilter, raw_cap=f_cap, out_cap=f_cap)
+                f_clouds = [PointCloud.from_numpy(s, cap=f_cap) for s in scans[:40]]
+                fx = np.stack([np.asarray(c.xyz) for c in f_clouds])
+                fm = np.stack([np.asarray(c.mask) for c in f_clouds])
+                mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
+                n_fleet = 32
+                rate = {}
+                for lanes in (1, 4):
+                    sx = jnp.asarray(
+                        np.stack([fx[i * 2 : i * 2 + n_fleet] for i in range(lanes)])
+                    )
+                    sm = jnp.asarray(
+                        np.stack([fm[i * 2 : i * 2 + n_fleet] for i in range(lanes)])
+                    )
+                    st = jnp.asarray(np.stack([stamps_np[:n_fleet]] * lanes))
+                    args = (mesh, sx, sm, st, cfg.odometry, cfg.lfa, f_pf)
+                    np.asarray(run_fleet_odometry(*args))  # warm/compile
+                    best = np.inf
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        np.asarray(run_fleet_odometry(*args))
+                        best = min(best, time.perf_counter() - t0)
+                    rate[lanes] = lanes * n_fleet / best
+                extra["fleet_scans_per_sec_per_lane_b4"] = round(rate[4] / 4, 2)
+                extra["fleet_throughput_retention_b4"] = round(rate[4] / rate[1], 2)
+            except Exception as exc:  # the headline must survive a fleet failure
+                extra["fleet_error"] = f"{type(exc).__name__}: {exc}"[:200]
     else:
         from lv_slam_tpu.odometry.dlo import DirectLidarOdometry
 
