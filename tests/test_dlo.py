@@ -84,3 +84,50 @@ def test_uniform_subsample_unbiased():
     np.testing.assert_allclose(
         np.asarray(sub2.xyz)[np.asarray(sub2.mask)], pts[:100], atol=0
     )
+
+
+def test_voxel_downsample_edge_cases():
+    """Pins the single-sort voxel_downsample rewrite: centroid exactness,
+    empty clouds, all-one-voxel clouds, and front-compaction of the output."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import voxel_downsample
+
+    # two voxels, exact centroids
+    pts = np.array(
+        [[0.01, 0.01, 0.0], [0.03, 0.03, 0.0], [5.01, 0.0, 0.0], [5.03, 0.0, 0.0]],
+        np.float32,
+    )
+    c = PointCloud.from_numpy(pts, cap=16)
+    out = voxel_downsample(c, 0.1, 8)
+    m = np.asarray(out.mask)
+    assert m[:2].all() and not m[2:].any()  # front-compacted
+    got = np.asarray(out.xyz)[:2]
+    want = np.array([[0.02, 0.02, 0.0], [5.02, 0.0, 0.0]], np.float32)
+    np.testing.assert_allclose(np.sort(got[:, 0]), np.sort(want[:, 0]), atol=1e-5)
+
+    # empty cloud
+    empty = PointCloud(
+        jnp.full((16, 3), 1e6), jnp.zeros(16), jnp.zeros(16, bool)
+    )
+    out = voxel_downsample(empty, 0.1, 8)
+    assert not np.asarray(out.mask).any()
+
+    # all points in ONE voxel -> one output row
+    one = PointCloud.from_numpy(
+        np.full((10, 3), 0.05, np.float32)
+        + np.linspace(0, 0.009, 10, dtype=np.float32)[:, None],
+        cap=16,
+    )
+    out = voxel_downsample(one, 0.5, 8)
+    m = np.asarray(out.mask)
+    assert m[0] and not m[1:].any()
+
+    # intensity averages per voxel
+    ci = PointCloud.from_numpy(
+        np.array([[0.01, 0, 0, 2.0], [0.02, 0, 0, 4.0]], np.float32), cap=8
+    )
+    out = voxel_downsample(ci, 0.1, 4)
+    assert abs(float(np.asarray(out.intensity)[0]) - 3.0) < 1e-5
