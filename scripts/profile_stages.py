@@ -1,0 +1,203 @@
+"""Stage- and kernel-level profiler for the flagship chain.
+
+Two measurement modes, both honest through the remote-TPU relay (see
+CLAUDE.md "Measured TPU performance facts"):
+
+- sequence mode: time whole jitted sequence programs (odometry, LFA) with
+  ONE pose fetch as the sync point — what the benchmark experiences.
+- kernel mode: `--kernels` times individual ops inside a device-side
+  `lax.fori_loop` whose body is DATA-DEPENDENT ON THE CARRY (inputs are
+  perturbed by `acc * 1e-20`). Without the carry dependence XLA hoists the
+  loop-invariant body and the measurement reads ~free (this exact mistake
+  produced a phantom 1.66 ms reading for a 10.8 ms op in round 3).
+
+Usage:
+    python scripts/profile_stages.py              # sequence mode, 64 scans
+    python scripts/profile_stages.py --kernels    # kernel microbenches
+    N=128 python scripts/profile_stages.py        # more scans (needs cache)
+
+The scan workload comes from the bench's disk cache
+(`/root/.cache/lv_slam_bench_scans_v1_<N>.npz`, created by `bench.py` with
+`BENCH_SCANS=<N>`); pass --synth to ray-trace fresh scans instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/lv_slam_jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fetch_latency():
+    z = jnp.zeros(())
+    np.asarray(z)
+    lat = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(z)
+        lat = min(lat, time.perf_counter() - t0)
+    return lat
+
+
+def carry_timed(name, fn, *args, reps=20, rounds=3):
+    """Device-side fori_loop of `reps` calls; body inputs perturbed by the
+    carry so XLA cannot hoist. Prints best-of-`rounds` minus one fetch."""
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            perturbed = [
+                x + acc * 1e-20
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x
+                for x in a
+            ]
+            out = fn(*perturbed)
+            leaves = jax.tree.leaves(out)
+            s = sum(jnp.sum(jnp.asarray(l, jnp.float32).ravel()[:1]) for l in leaves)
+            return acc + s * 1e-20
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(np.asarray(loop(*args)))  # compile + warm
+    best = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(np.asarray(loop(*args)))
+        best = min(best, time.perf_counter() - t0)
+    ms = (best - _fetch_latency()) / reps * 1000.0
+    print(f"{name:28s} {ms:8.3f} ms", flush=True)
+    return ms
+
+
+def seq_timed(name, fn, n_scans, rounds=3):
+    """Time a whole-sequence program; sync = one fetch of the result tail."""
+    out = fn()
+    np.asarray(jax.tree.leaves(out)[0])[-1:]
+    best = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = fn()
+        np.asarray(jax.tree.leaves(out)[0])[-1:]
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:28s} {best:8.3f} s  {best / n_scans * 1000.0:7.2f} ms/scan", flush=True)
+    return best
+
+
+def _load_workload(n_scans, synth):
+    from lv_slam_tpu.io import synthetic
+
+    cache = f"/root/.cache/lv_slam_bench_scans_v1_{n_scans}.npz"
+    if not synth and os.path.exists(cache):
+        with np.load(cache) as z:
+            return [z[f"s{i}"] for i in range(n_scans)]
+    world = synthetic.make_world(seed=5)
+    gt = synthetic.circle_trajectory(n_scans, step=1.0)
+    rays = synthetic.hdl64_rays(64, 2000)
+    return [synthetic.simulate_scan(world, gt[i], rays, seed=5 + i) for i in range(n_scans)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernels", action="store_true", help="kernel microbenches")
+    ap.add_argument("--synth", action="store_true", help="ray-trace instead of cache")
+    args = ap.parse_args()
+    n_scans = int(os.environ.get("N", "64"))
+
+    from lv_slam_tpu.config import kitti_flagship_config
+    from lv_slam_tpu.core.cloud import PointCloud
+
+    cfg = kitti_flagship_config()
+    scans = _load_workload(n_scans, args.synth)
+    cap = cfg.prefilter.raw_cap
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+    xyz = jnp.asarray(np.stack([np.asarray(c.xyz) for c in clouds]))
+    mask = jnp.asarray(np.stack([np.asarray(c.mask) for c in clouds]))
+    stamps = jnp.arange(n_scans, dtype=jnp.float32) * 0.1
+    c0, c1 = clouds[0], clouds[1]
+
+    if args.kernels:
+        from lv_slam_tpu.lfa.features import extract_features
+        from lv_slam_tpu.lfa.fused import _n_buckets
+        from lv_slam_tpu.odometry.fused import _make_ops, _prefilter
+        from lv_slam_tpu.ops.knn import build_cell_table
+        from lv_slam_tpu.ops.prefilter import voxel_downsample
+
+        pf = cfg.prefilter
+        carry_timed(
+            "prefilter chain",
+            lambda x, m: _prefilter(PointCloud(x, jnp.zeros(cap), m), pf, cfg.odometry.scan_matching_cap),
+            c0.xyz, c0.mask,
+        )
+        carry_timed(
+            "voxel_downsample 131k",
+            lambda x, m: voxel_downsample(PointCloud(x, jnp.zeros(cap), m), pf.downsample_resolution, pf.out_cap),
+            c0.xyz, c0.mask,
+        )
+        build, align, _, _ = _make_ops(cfg.odometry, pf)
+        filt0 = jax.jit(lambda c: _prefilter(c, pf, cfg.odometry.scan_matching_cap))(c0)
+        filt1 = jax.jit(lambda c: _prefilter(c, pf, cfg.odometry.scan_matching_cap))(c1)
+        key_map = jax.jit(build)(filt0)
+        guess = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(1.0)
+        carry_timed("ndt map build+hash", build, filt0)
+        carry_timed(
+            "ndt align (1m guess)",
+            lambda m, c, g: align(m, c, g).transform, key_map, filt1, guess,
+        )
+        lcfg = cfg.lfa
+        carry_timed(
+            "lfa extract_features",
+            lambda x, m: extract_features(PointCloud(x, jnp.zeros(cap), m), lcfg),
+            c0.xyz, c0.mask,
+        )
+        rng = np.random.default_rng(0)
+        em = jnp.asarray(rng.uniform(-80, 80, (lcfg.map_edge_cap, 3)).astype(np.float32))
+        emk = jnp.asarray(np.arange(lcfg.map_edge_cap) < lcfg.map_edge_cap // 2)
+        carry_timed(
+            "lfa cell table (edge)",
+            lambda m, k: build_cell_table(
+                m, k, 2.0, n_buckets=_n_buckets(lcfg, lcfg.map_edge_cap), slots=lcfg.knn_slots
+            ),
+            em, emk,
+        )
+        return
+
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+    from lv_slam_tpu.odometry.fused import run_sequence_fused
+
+    seq_timed(
+        "odometry sequence",
+        lambda: run_sequence_fused(xyz, mask, stamps, cfg.odometry, cfg.prefilter),
+        n_scans,
+    )
+    odom = run_sequence_fused(xyz, mask, stamps, cfg.odometry, cfg.prefilter)
+    seq_timed(
+        "lfa sequence",
+        lambda: run_sequence_lfa(xyz, mask, cfg.lfa, odom_poses=odom),
+        n_scans,
+    )
+    (_, iters, switches) = run_sequence_fused(
+        xyz, mask, stamps, cfg.odometry, cfg.prefilter, with_stats=True
+    )
+    it = np.asarray(iters)
+    print(
+        f"ndt iterations: mean {it[1:].mean():.1f} p90 {np.percentile(it[1:], 90):.0f}"
+        f"  keyframes {int(np.asarray(switches).sum())}/{n_scans}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
