@@ -253,7 +253,9 @@ class GlobalGraph:
             accums.append(self.updater.accum_distance)
 
         orb_batch = {}
-        images_on_device = images is not None and hasattr(images, "ndim")
+        import jax
+
+        images_on_device = isinstance(images, jax.Array)
         if images_on_device:
             opened = [i for i in range(c) if triggers[i]]
             if opened:
