@@ -245,12 +245,17 @@ def main():
         timed = n_scans
         extra["loop_ms_per_scan"] = round(loop_time[0] / n_scans * 1000.0, 2)
         if mode == "full":
-            # the LFA-on/off delta: time one dlo+ggo pass (already warm)
+            # the LFA-on/off delta: time one dlo+ggo pass (already warm).
+            # run_chain overwrites the keyframe/loop/bow extras — snapshot
+            # the TIMED flagship run's values (the tracking gate and the
+            # reported stats must describe the headline run, not the delta)
+            snap = {k: extra[k] for k in ("keyframes", "n_loops", "bow_active") if k in extra}
             off = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 run_chain(False)
                 off.append(time.perf_counter() - t0)
+            extra.update(snap)
             extra["dlo_ggo_scans_per_sec"] = round(n_scans / min(off), 2)
             extra["lfa_ms_per_scan"] = round((elapsed - min(off)) / n_scans * 1000.0, 2)
         if mode == "full" and os.environ.get("BENCH_FLEET", "1") != "0":

@@ -167,7 +167,7 @@ class LoopDetector:
                 # inverted-file query — cost scales with the query's posting
                 # lists, not the candidate count (bow.InvertedIndex)
                 got = self._query_index(va, candidates)
-                raw = [got.get(id(c), 0.0) for c in candidates]
+                raw = [got.get(self._kf_key(c), 0.0) for c in candidates]
             else:
                 raw = [
                     0.0 if c.descriptor is None
@@ -198,6 +198,13 @@ class LoopDetector:
         keep = [i for i, s in enumerate(rscores) if s >= self.cfg.bow_score_thresh]
         return [ranked[i] for i in keep], [rscores[i] for i in keep]
 
+    @staticmethod
+    def _kf_key(kf: KeyFrame):
+        """Stable index key: id() can alias after garbage collection (a new
+        KeyFrame reusing a freed address would silently inherit the dead
+        keyframe's postings); seq is unique and stable per keyframe."""
+        return kf.seq
+
     def _query_index(self, query_vec: np.ndarray, candidates: List[KeyFrame]) -> dict:
         """Score candidates through the inverted file, indexing any keyframe
         vectors not yet added (each keyframe is indexed once)."""
@@ -206,10 +213,13 @@ class LoopDetector:
         if self._index is None:
             self._index = InvertedIndex(self.vocabulary.n_words)
         for c in candidates:
-            if c.descriptor is not None and id(c) not in self._indexed:
-                self._index.add(id(c), self._bow_vector(c))
-                self._indexed.add(id(c))
-        return self._index.query(query_vec, subset={id(c) for c in candidates})
+            key = self._kf_key(c)
+            if c.descriptor is not None and key not in self._indexed:
+                self._index.add(key, self._bow_vector(c))
+                self._indexed.add(key)
+        return self._index.query(
+            query_vec, subset={self._kf_key(c) for c in candidates}
+        )
 
     # -- verification --------------------------------------------------------
     def verify(self, candidates: List[KeyFrame], scores, new_kf: KeyFrame) -> Optional[Loop]:

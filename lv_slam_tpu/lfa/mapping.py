@@ -24,7 +24,6 @@ from lv_slam_tpu.core import se3
 from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
 from lv_slam_tpu.lfa import registration as reg
 from lv_slam_tpu.lfa.features import FeatureClouds
-from lv_slam_tpu.ops.knn import build_cell_table
 from lv_slam_tpu.ops.prefilter import voxel_dedup_first
 
 
@@ -84,16 +83,17 @@ class FeatureMapping:
         # bucket-table k-NN (cell 2.0 covers the 1.0 m fit gates), same
         # structure/sizing as the device-resident lfa/fused.py path
         from lv_slam_tpu.lfa.fused import _n_buckets
+        from lv_slam_tpu.utils.jit_cache import build_cell_table_fn, transform_points_fn
 
-        self._build_edge_table = jax.jit(functools.partial(
-            build_cell_table, cell_size=2.0,
-            n_buckets=_n_buckets(c, c.map_edge_cap), slots=c.knn_slots,
-        ))
-        self._build_surf_table = jax.jit(functools.partial(
-            build_cell_table, cell_size=2.0,
-            n_buckets=_n_buckets(c, c.map_planar_cap), slots=c.knn_slots,
-        ))
-        self._transform = jax.jit(se3.transform_points)
+        # shared jitted programs (never per-instance: each instance would
+        # re-query the remote compile cache, seconds per shape — CLAUDE.md)
+        self._build_edge_table = build_cell_table_fn(
+            2.0, _n_buckets(c, c.map_edge_cap), c.knn_slots
+        )
+        self._build_surf_table = build_cell_table_fn(
+            2.0, _n_buckets(c, c.map_planar_cap), c.knn_slots
+        )
+        self._transform = transform_points_fn()
         self._count = 0
 
     @property

@@ -281,6 +281,8 @@ def run_sequence_fused(
     """
     if return_filtered and not use_scan:
         raise ValueError("return_filtered requires the lax.scan path")
+    if return_filtered and prefilter_cfg is None:
+        raise ValueError("return_filtered requires a prefilter_cfg")
     if not use_scan:
         jinit, jstep = _jitted_step_cache(cfg, prefilter_cfg)
         n, cap = xyz.shape[0], xyz.shape[1]

@@ -126,9 +126,19 @@ def voxel_downsample(
     inten = sums[:, 3] / cnt
     valid = counts > 0
 
-    return PointCloud(
+    out = PointCloud(
         jnp.where(valid[:, None], pts, SENTINEL), jnp.where(valid, inten, 0.0), valid
     )
+    if out.cap < out_cap:
+        # inputs smaller than the requested capacity: pad so the documented
+        # fixed (out_cap,*) output shape holds for every input cap
+        pad = out_cap - out.cap
+        out = PointCloud(
+            jnp.concatenate([out.xyz, jnp.full((pad, 3), SENTINEL)], axis=0),
+            jnp.concatenate([out.intensity, jnp.zeros(pad)], axis=0),
+            jnp.concatenate([out.mask, jnp.zeros(pad, bool)], axis=0),
+        )
+    return out
 
 
 def voxel_dedup_first(cloud: PointCloud, resolution: float, out_cap: int) -> PointCloud:
@@ -191,9 +201,14 @@ def uniform_subsample(cloud: PointCloud, out_cap: int) -> PointCloud:
     cnt = jnp.sum(cloud.mask.astype(jnp.int32))
     take = jnp.minimum(cnt, out_cap)
     i = jnp.arange(out_cap, dtype=jnp.int32)
-    idx = (i * cnt) // jnp.maximum(take, 1)
+    # stride in float32: i * cnt overflows int32 at KITTI density (i up to
+    # 65535 x cnt ~100k ~ 7e9 >> 2^31 — silently corrupted the subsample);
+    # the float stride's worst-case rounding is a +-1 index jitter, harmless
+    # for an even sampling heuristic (indices stay in range and ordered)
+    step = cnt.astype(jnp.float32) / jnp.maximum(take, 1).astype(jnp.float32)
+    idx = jnp.floor(i.astype(jnp.float32) * step).astype(jnp.int32)
     ok = i < take
-    idx = jnp.where(ok, jnp.minimum(idx, n - 1), 0)
+    idx = jnp.where(ok, jnp.clip(idx, 0, n - 1), 0)
     packed = jnp.concatenate([cloud.xyz, cloud.intensity[:, None]], axis=1)[idx]
     return PointCloud(
         jnp.where(ok[:, None], packed[:, :3], SENTINEL),

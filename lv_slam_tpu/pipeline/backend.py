@@ -120,6 +120,7 @@ class GlobalGraph:
             if self._w_odom is not None:
                 self._flush_window()
             self._w_parts = [(cloud, np.eye(4))]
+            self._w_partials = []  # clear any batch-path leftovers
             self._w_odom = odom
             self._w_seq = seq
             self._w_stamp = stamp

@@ -31,8 +31,10 @@ def transform_cloud_fn():
 @functools.lru_cache(maxsize=8)
 def prefilter_chunk_fn(cfg):
     """Batched prefilter over a (B, cap) chunk of scans (cfg is the frozen
-    PrefilterConfig, static under jit). Feeds the backend the same
-    `/filtered_points` the host driver produces."""
+    PrefilterConfig, static under jit). Convenience API for host drivers;
+    the fused drivers no longer use it — they take the `/filtered_points`
+    product straight from the odometry program
+    (`odometry/fused.run_sequence_fused(return_filtered=True)`)."""
     from lv_slam_tpu.ops.prefilter import prefilter
 
     return jax.jit(jax.vmap(lambda c: prefilter(c, cfg)))
@@ -158,6 +160,25 @@ def window_group_filtered_fn(resolution: float, out_cap: int, length: int):
         return voxel_dedup_first(cloud, resolution, out_cap)
 
     return run
+
+
+@functools.lru_cache(maxsize=32)
+def build_cell_table_fn(cell_size: float, n_buckets: int, slots: int):
+    """Jitted bucket-table k-NN builder (`ops/knn.build_cell_table`),
+    shared across host-driver instances (per-instance jits re-query the
+    remote compile cache — seconds per shape)."""
+    from lv_slam_tpu.ops.knn import build_cell_table
+
+    return jax.jit(functools.partial(
+        build_cell_table, cell_size=cell_size, n_buckets=n_buckets, slots=slots,
+    ))
+
+
+@functools.lru_cache(maxsize=4)
+def transform_points_fn():
+    from lv_slam_tpu.core import se3
+
+    return jax.jit(se3.transform_points)
 
 
 @functools.lru_cache(maxsize=32)

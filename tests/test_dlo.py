@@ -131,3 +131,32 @@ def test_voxel_downsample_edge_cases():
     )
     out = voxel_downsample(ci, 0.1, 4)
     assert abs(float(np.asarray(out.intensity)[0]) - 3.0) < 1e-5
+
+
+def test_uniform_subsample_no_int32_overflow():
+    """i * cnt overflowed int32 at KITTI density (65536 lanes x ~100k valid
+    points ~ 7e9): indices wrapped negative, clamped to wrong rows, and the
+    valid count silently collapsed. The float-stride rewrite must keep every
+    output lane valid and the indices evenly spread."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import uniform_subsample
+
+    n, out_cap, valid_n = 131072, 65536, 100000
+    rng = np.random.default_rng(0)
+    xyz = np.full((n, 3), 1.0e6, np.float32)
+    xyz[:valid_n] = rng.uniform(-50, 50, (valid_n, 3)).astype(np.float32)
+    mask = np.zeros(n, bool)
+    mask[:valid_n] = True
+    cloud = PointCloud(jnp.asarray(xyz), jnp.zeros(n), jnp.asarray(mask))
+    out = uniform_subsample(cloud, out_cap)
+    m = np.asarray(out.mask)
+    assert int(m.sum()) == out_cap, int(m.sum())  # all lanes filled
+    pts = np.asarray(out.xyz)[m]
+    assert np.abs(pts).max() < 100.0  # no sentinel rows leaked
+    # even spread: both halves of the valid prefix are represented
+    first_half = np.isin(
+        np.round(pts[:, 0], 4), np.round(xyz[: valid_n // 2, 0], 4)
+    ).mean()
+    assert 0.3 < first_half < 0.7, first_half

@@ -60,11 +60,12 @@ def test_pipeline_dlo_only(small_sequence):
 
 
 def test_fused_driver_backend_cloud_matches_host_prefilter():
-    """The fused KITTI driver feeds the backend batched-prefiltered clouds
-    (jit_cache.prefilter_chunk_fn); they must equal the host driver's
-    per-scan prefilter exactly — both stand in for /filtered_points
-    (dlo_lfa_ggo_kitti.launch:88), so a fork here silently changes keyframe
-    windows, loop fitness, and save_map between the two drivers."""
+    """The batched prefilter helper (jit_cache.prefilter_chunk_fn) must
+    equal the host driver's per-scan prefilter exactly — both stand in for
+    /filtered_points (dlo_lfa_ggo_kitti.launch:88). The fused drivers now
+    take the filtered product from the odometry program itself; THAT path's
+    parity is pinned by
+    test_fused.py::test_return_filtered_matches_standalone_prefilter."""
     import jax.numpy as jnp
 
     from lv_slam_tpu.config import PrefilterConfig
