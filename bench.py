@@ -65,9 +65,51 @@ def _devkit_t_err(gt_rel: np.ndarray, est: np.ndarray) -> float:
     return float(t_err)
 
 
+def _probe_rig(timeout_s: float = 75.0) -> None:
+    """Fail fast with ONE structured JSON line if the TPU relay is wedged.
+
+    The relay can wedge permanently (every device op hangs, even from fresh
+    processes — see CLAUDE.md); without this probe a dead rig produces a
+    30-frame traceback after minutes of hanging (what happened to
+    BENCH_r03.json). A 1-element round trip under a timeout distinguishes
+    "pipeline broken" from "rig down"."""
+    import threading
+
+    ok = []
+
+    def _touch():
+        try:
+            x = jax.device_put(np.ones((1,), np.float32))
+            v = np.asarray(x + 1.0)
+            ok.append(float(v[0]))
+        except Exception as exc:  # backend init failure = rig down too
+            ok.append(exc)
+
+    t = threading.Thread(target=_touch, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok or isinstance(ok[0], Exception):
+        reason = "probe_timeout" if not ok else f"{type(ok[0]).__name__}: {ok[0]}"[:200]
+        mode = os.environ.get("BENCH_MODE", "full")
+        metric = {
+            "full": "slam_scans_per_sec_per_chip",
+            "dlo_ggo": "dlo_ggo_scans_per_sec_per_chip",
+        }.get(mode, "dlo_scans_per_sec_per_chip")
+        print(json.dumps({
+            "metric": metric,
+            "value": None,
+            "unit": "scans/s",
+            "vs_baseline": None,
+            "error": "relay_unavailable",
+            "extra": {"probe": reason},
+        }))
+        os._exit(1)
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "full")
     n_scans = int(os.environ.get("BENCH_SCANS", "170"))
+    _probe_rig()
     import jax.numpy as jnp
 
     from lv_slam_tpu.config import kitti_flagship_config

@@ -163,6 +163,13 @@ def _compact(pts, good, cap):
 @functools.partial(jax.jit, static_argnums=(1,))
 def extract_features(cloud: PointCloud, cfg: LfaConfig) -> FeatureClouds:
     """Full scanRegistration equivalent: range image -> curvature -> picks."""
+    if cfg.sharp_per_sector > cfg.less_sharp_per_sector:
+        # sharp picks are the leading columns of the less-sharp top-k (one
+        # shared selection network); a wider sharp count cannot be served
+        raise ValueError(
+            f"sharp_per_sector ({cfg.sharp_per_sector}) must be <= "
+            f"less_sharp_per_sector ({cfg.less_sharp_per_sector})"
+        )
     image, valid = project_range_image(
         cloud, n_rings=cfg.scan_line, minimum_range=cfg.minimum_range,
         min_elev_deg=cfg.min_elev_deg, max_elev_deg=cfg.max_elev_deg,

@@ -47,6 +47,11 @@ def _subsample_cache(out_cap: int):
     return jax.jit(functools.partial(uniform_subsample, out_cap=out_cap))
 
 
+@functools.lru_cache(maxsize=16)
+def _compact_cache(out_cap: int):
+    return jax.jit(lambda c: c.compact(out_cap))
+
+
 @dataclasses.dataclass
 class OdometryStats:
     scan_count: int = 0
@@ -102,8 +107,14 @@ class DirectLidarOdometry:
         sm = self.cfg.scan_matching_cap
         if prefilter_cfg is not None and sm and sm < prefilter_cfg.out_cap:
             self._subsample = _subsample_cache(sm)
+            # uniform_subsample needs a front-compacted cloud; outlier removal
+            # re-holes the mask after prefilter()'s compaction
+            self._compact_before_subsample = (
+                prefilter_cfg.outlier_removal_method.upper() != "NONE"
+            )
         else:
             self._subsample = None
+            self._compact_before_subsample = False
         self.reset()
 
     def reset(self):
@@ -127,6 +138,8 @@ class DirectLidarOdometry:
         if self._subsample is not None:
             # bounded-lane scan matching (OdometryConfig.scan_matching_cap);
             # same subsample as the fused driver's in-program path
+            if self._compact_before_subsample:
+                cloud = _compact_cache(cloud.cap)(cloud)
             cloud = self._subsample(cloud)
 
         if self.stats.scan_count == 0:

@@ -48,6 +48,10 @@ def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
         out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
     if cfg.downsample_method.upper() in ("VOXELGRID", "APPROX_VOXELGRID"):
         out = voxel_downsample(out, cfg.downsample_resolution, cfg.out_cap, cfg.downsample_method)
+    else:
+        # distance_filter only clears mask bits; uniform_subsample downstream
+        # requires a front-compacted cloud (matches ops/prefilter.prefilter)
+        out = out.compact(cfg.out_cap)
     return out
 
 

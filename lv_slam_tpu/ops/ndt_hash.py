@@ -60,7 +60,7 @@ def to_hash(vmap_: VoxelMap, buckets_per_leaf: int = 4) -> HashVoxelMap:
     if e**3 >= 0x7F800000:
         raise ValueError(
             f"lut_extent {e} gives key space {e**3} >= 0x7F800000: embedded "
-            "keys would be NaN bit patterns (TPU-canonicalized); max extent 1289"
+            "keys would be NaN bit patterns (TPU-canonicalized); max extent 1288"
         )
     leaf_cap = vmap_.leaf_cap
     n_buckets = 1

@@ -219,8 +219,12 @@ class GlobalGraph:
         """Chunk-level `cloud_callback`: C scans arriving as stacked device
         arrays (C,cap,*) plus host odometry poses (C,4,4).
 
-        Behaviorally equivalent to C `add_scan` calls on prefiltered slices,
-        but the device work per keyframe window is ONE group program
+        Behaviorally equivalent to C `add_scan` calls on prefiltered slices
+        — with one restriction: the raw-chunk path (`filtered=False`) folds
+        only the distance band + voxel centroid into the window group
+        program; `use_angle_calibration` and `outlier_removal_method` from
+        PrefilterConfig are NOT applied (a warning is raised if enabled).
+        The device work per keyframe window is ONE group program
         (`jit_cache.window_group_fn`) that slices the raw chunk, applies the
         prefilter's distance band, motion-composes, and voxel-centroids in a
         single dispatch — per-scan device slicing costs ~50 ms per op
@@ -244,6 +248,18 @@ class GlobalGraph:
         over raw rows (the reference's backend likewise consumes
         `/filtered_points`, not `/velodyne_points`).
         """
+        if not filtered and (
+            self.prefilter_cfg.use_angle_calibration
+            or self.prefilter_cfg.outlier_removal_method.upper() != "NONE"
+        ):
+            import warnings
+
+            warnings.warn(
+                "add_scan_batch raw-chunk path applies only the distance band "
+                "+ voxel centroid; use_angle_calibration/outlier_removal_method "
+                "are dropped — use per-scan add_scan for full prefiltering",
+                stacklevel=2,
+            )
         odoms = np.asarray(odoms, np.float64)
         stamps = np.asarray(stamps, np.float64)
         c = odoms.shape[0]

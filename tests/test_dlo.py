@@ -160,3 +160,36 @@ def test_uniform_subsample_no_int32_overflow():
         np.round(pts[:, 0], 4), np.round(xyz[: valid_n // 2, 0], 4)
     ).mean()
     assert 0.3 < first_half < 0.7, first_half
+
+
+def test_prefilter_none_branch_compacts_before_subsample():
+    """Advisor r3 medium: with downsample_method=NONE the distance filter only
+    clears mask bits, so uniform_subsample saw a holey cloud and silently
+    dropped valid points with spatial bias (666 survivors -> 340 kept).
+    _prefilter_mid must front-compact in the NONE branch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.odometry.fused import _prefilter
+    from lv_slam_tpu.config import PrefilterConfig
+
+    n, out_cap = 4096, 512
+    rng = np.random.default_rng(1)
+    # half the lanes inside the distance band, interleaved with out-of-band
+    pts = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    pts[::2] *= 0.001  # even lanes fall below distance_near_thresh
+    cloud = PointCloud.from_numpy(pts, cap=n)
+    pf = PrefilterConfig(raw_cap=n, out_cap=n, downsample_method="NONE")
+    out = jax.jit(lambda c: _prefilter(c, pf, scan_matching_cap=out_cap))(cloud)
+    m = np.asarray(out.mask)
+    assert int(m.sum()) == out_cap, int(m.sum())  # every output lane kept
+    # survivors span the whole azimuth range of the valid set, not a prefix
+    kept = np.asarray(out.xyz)[m]
+    band = pts[1::2]
+    az_kept = np.arctan2(kept[:, 1], kept[:, 0])
+    az_band = np.arctan2(band[:, 1], band[:, 0])
+    hist_k, _ = np.histogram(az_kept, bins=8, range=(-np.pi, np.pi))
+    assert (hist_k > 0).all(), hist_k  # no azimuth sector starved
