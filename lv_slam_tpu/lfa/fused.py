@@ -12,8 +12,17 @@ This variant keeps the whole stage on device (same treatment as
 - one scan step = range-image feature extraction -> scan-to-scan feature GN
   (or an externally supplied odometry pose: the `dlo_lfa` coupling, where
   the PCA-NDT odometry seeds the mapping stage) -> scan-to-map GN against
-  the persistent edge/surf maps -> map merge + crop — all traced once.
+  the persistent edge/surf maps -> incremental map insert + crop — all
+  traced once.
 - a full sequence runs under `lax.scan` with zero host syncs.
+
+The world maps ARE the k-NN cell tables, maintained incrementally
+(`ops/knn.insert_cell_table`): the per-scan rebuild + full-map merge sort of
+rounds 2-3 paid map-cap-sized sorts and scatters every scan even though each
+map changes by ONE bounded feature batch (~4-8k points). Queries only ever
+saw the table's `slots` points per cell, so storing ONLY those loses nothing
+query-visible; insertion costs one batch-sized sort + gather + scatter and
+crop is one elementwise pass.
 """
 
 from __future__ import annotations
@@ -26,11 +35,17 @@ import jax.numpy as jnp
 
 from lv_slam_tpu.config import LfaConfig
 from lv_slam_tpu.core import se3
-from lv_slam_tpu.core.cloud import SENTINEL, PointCloud
+from lv_slam_tpu.core.cloud import PointCloud
 from lv_slam_tpu.lfa import registration as reg
 from lv_slam_tpu.lfa.features import FeatureClouds, extract_features
-from lv_slam_tpu.ops.knn import KnnGrid, build_cell_table, build_grid
-from lv_slam_tpu.ops.prefilter import voxel_dedup_first
+from lv_slam_tpu.ops.knn import (
+    CellTable,
+    KnnGrid,
+    build_grid,
+    crop_cell_table,
+    empty_cell_table,
+    insert_cell_table,
+)
 
 
 class LfaFusedState(NamedTuple):
@@ -38,10 +53,8 @@ class LfaFusedState(NamedTuple):
     prev_surf_grid: KnnGrid
     odom_pose: jax.Array    # (4,4) accumulated scan-to-scan odometry
     last_rel: jax.Array     # (4,4) constant-velocity warm start
-    edge_map: jax.Array     # (Me,3) world edge features
-    edge_mask: jax.Array    # (Me,)
-    surf_map: jax.Array     # (Ms,3)
-    surf_mask: jax.Array    # (Ms,)
+    edge_table: CellTable   # persistent world edge-feature map (k-NN table)
+    surf_table: CellTable   # persistent world surf-feature map
     map_pose: jax.Array     # (4,4) refined world pose (aft_mapped)
     last_odom: jax.Array    # (4,4) odometry pose of the previous scan
     scan_idx: jax.Array     # () int32
@@ -49,18 +62,6 @@ class LfaFusedState(NamedTuple):
 
 def _extract(xyz, mask, cfg: LfaConfig) -> FeatureClouds:
     return extract_features(PointCloud(xyz, jnp.zeros(xyz.shape[0]), mask), cfg)
-
-
-def _merge(map_xyz, map_mask, new_xyz, new_mask, resolution: float):
-    # dedup-first (map points win over incoming duplicates): both sides are
-    # already voxel-spaced at this resolution, so this matches A-LOAM's
-    # re-voxelization to within the voxel radius at ~1/3 the cost
-    cap = map_xyz.shape[0]
-    xyz = jnp.concatenate([map_xyz, new_xyz], axis=0)
-    mask = jnp.concatenate([map_mask, new_mask], axis=0)
-    cloud = PointCloud(jnp.where(mask[:, None], xyz, SENTINEL), jnp.zeros(xyz.shape[0]), mask)
-    out = voxel_dedup_first(cloud, resolution, cap)
-    return out.xyz, out.mask
 
 
 def _n_buckets(cfg: LfaConfig, cap: int) -> int:
@@ -80,30 +81,37 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
         crop_radius = cfg.crop_radius
     grid_cell = 2.0
 
+    def _insert_and_crop(state_edge, state_surf, feats, pose):
+        edge_w = se3.transform_points(pose, feats.less_sharp)
+        surf_w = se3.transform_points(pose, feats.less_flat)
+        edge_table = insert_cell_table(
+            state_edge, edge_w, feats.less_sharp_mask, cfg.mapping_line_resolution
+        )
+        surf_table = insert_cell_table(
+            state_surf, surf_w, feats.less_flat_mask, cfg.mapping_plane_resolution
+        )
+        center = pose[:3, 3]
+        edge_table = crop_cell_table(edge_table, center, crop_radius)
+        surf_table = crop_cell_table(surf_table, center, crop_radius)
+        return edge_table, surf_table
+
     def init_state(xyz, mask, odom0) -> LfaFusedState:
         feats = _extract(xyz, mask, cfg)
         pose0 = jnp.asarray(odom0, jnp.float32)
-        edge_w = se3.transform_points(pose0, feats.less_sharp)
-        surf_w = se3.transform_points(pose0, feats.less_flat)
-        edge_map = jnp.full((cfg.map_edge_cap, 3), SENTINEL, jnp.float32)
-        edge_mask = jnp.zeros((cfg.map_edge_cap,), bool)
-        surf_map = jnp.full((cfg.map_planar_cap, 3), SENTINEL, jnp.float32)
-        surf_mask = jnp.zeros((cfg.map_planar_cap,), bool)
-        edge_map, edge_mask = _merge(
-            edge_map, edge_mask, edge_w, feats.less_sharp_mask, cfg.mapping_line_resolution
+        edge_table = empty_cell_table(
+            _n_buckets(cfg, cfg.map_edge_cap), cfg.knn_slots, grid_cell
         )
-        surf_map, surf_mask = _merge(
-            surf_map, surf_mask, surf_w, feats.less_flat_mask, cfg.mapping_plane_resolution
+        surf_table = empty_cell_table(
+            _n_buckets(cfg, cfg.map_planar_cap), cfg.knn_slots, grid_cell
         )
+        edge_table, surf_table = _insert_and_crop(edge_table, surf_table, feats, pose0)
         return LfaFusedState(
             prev_edge_grid=build_grid(feats.less_sharp, feats.less_sharp_mask, grid_cell),
             prev_surf_grid=build_grid(feats.less_flat, feats.less_flat_mask, grid_cell),
             odom_pose=pose0,
             last_rel=jnp.eye(4, dtype=jnp.float32),
-            edge_map=edge_map,
-            edge_mask=edge_mask,
-            surf_map=surf_map,
-            surf_mask=surf_mask,
+            edge_table=edge_table,
+            surf_table=surf_table,
             map_pose=pose0,
             last_odom=pose0,
             scan_idx=jnp.int32(1),
@@ -133,52 +141,31 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
 
         # scan-to-map: seed = previous refined pose composed with the
         # odometry increment (A-LOAM's transformAssociateToMap). Map k-NN
-        # uses the bucket-table (cell 2.0 covers the 1.0 m fit gates with
-        # the 8-cell probe — one gather per query batch).
+        # queries hit the PERSISTENT cell tables directly (cell 2.0 covers
+        # the 1.0 m fit gates with the 8-cell probe — one gather per query
+        # batch, zero per-scan build cost).
         rel_map = se3.inverse(state.last_odom) @ odom
         guess = state.map_pose @ rel_map
-        edge_grid = build_cell_table(
-            state.edge_map, state.edge_mask, 2.0,
-            n_buckets=_n_buckets(cfg, cfg.map_edge_cap), slots=cfg.knn_slots,
-        )
-        surf_grid = build_cell_table(
-            state.surf_map, state.surf_mask, 2.0,
-            n_buckets=_n_buckets(cfg, cfg.map_planar_cap), slots=cfg.knn_slots,
-        )
         t = guess
         for _ in range(cfg.mapping_corr_rounds):
             ye = se3.transform_points(t, feats.less_sharp)
-            lines = reg.lines_from_fit(ye, feats.less_sharp_mask, edge_grid, k=cfg.knn_k)
+            lines = reg.lines_from_fit(ye, feats.less_sharp_mask, state.edge_table, k=cfg.knn_k)
             ys = se3.transform_points(t, feats.less_flat)
-            planes = reg.planes_from_fit(ys, feats.less_flat_mask, surf_grid, k=cfg.knn_k)
+            planes = reg.planes_from_fit(ys, feats.less_flat_mask, state.surf_table, k=cfg.knn_k)
             t = reg.gn_solve(t, feats.less_sharp, lines, feats.less_flat, planes, cfg.mapping_max_iterations)
         refined = se3.orthonormalize(t)
 
-        edge_w = se3.transform_points(refined, feats.less_sharp)
-        surf_w = se3.transform_points(refined, feats.less_flat)
-        edge_map, edge_mask = _merge(
-            state.edge_map, state.edge_mask, edge_w, feats.less_sharp_mask,
-            cfg.mapping_line_resolution,
+        edge_table, surf_table = _insert_and_crop(
+            state.edge_table, state.surf_table, feats, refined
         )
-        surf_map, surf_mask = _merge(
-            state.surf_map, state.surf_mask, surf_w, feats.less_flat_mask,
-            cfg.mapping_plane_resolution,
-        )
-        center = refined[:3, 3]
-        keep_e = edge_mask & (jnp.linalg.norm(edge_map - center, axis=1) < crop_radius)
-        edge_map = jnp.where(keep_e[:, None], edge_map, SENTINEL)
-        keep_s = surf_mask & (jnp.linalg.norm(surf_map - center, axis=1) < crop_radius)
-        surf_map = jnp.where(keep_s[:, None], surf_map, SENTINEL)
 
         new_state = LfaFusedState(
             prev_edge_grid=new_edge_grid,
             prev_surf_grid=new_surf_grid,
             odom_pose=odom,
             last_rel=new_last_rel,
-            edge_map=edge_map,
-            edge_mask=keep_e,
-            surf_map=surf_map,
-            surf_mask=keep_s,
+            edge_table=edge_table,
+            surf_table=surf_table,
             map_pose=refined,
             last_odom=odom,
             scan_idx=state.scan_idx + 1,

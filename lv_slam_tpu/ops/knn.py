@@ -128,6 +128,108 @@ def build_cell_table(
     return CellTable(table=table.reshape(n_buckets, slots * 4), cell_size=cs)
 
 
+def empty_cell_table(n_buckets: int, slots: int, cell_size: float) -> CellTable:
+    """All-invalid table (valid flags 0) for incremental insertion."""
+    return CellTable(
+        table=jnp.zeros((n_buckets, slots * 4), jnp.float32),
+        cell_size=jnp.float32(cell_size),
+    )
+
+
+def insert_cell_table(
+    table: CellTable, xyz: jax.Array, mask: jax.Array, resolution: float
+) -> CellTable:
+    """Dedup-first insertion of a (small) new point batch into a persistent
+    table: new points whose voxel (at `resolution`) is already occupied by a
+    stored point are dropped (the map wins — same semantics as
+    `voxel_dedup_first` merging), the rest claim free slots of their cell's
+    bucket (first-come; a full cell drops the overflow — matching what the
+    per-scan rebuild kept visible to queries anyway).
+
+    This replaces the per-scan `build_cell_table` + million-row merge sort of
+    the LFA world maps (the map only ever changed by ONE bounded feature
+    batch per scan): cost is one small multi-key sort over the batch, one
+    bucket-row gather, and one scatter — all sized to the BATCH, not the map.
+    """
+    n_buckets = table.table.shape[0]
+    s = table.slots
+    n = xyz.shape[0]
+    cs = table.cell_size
+    res = jnp.float32(resolution)
+
+    vox = jnp.floor(xyz / res).astype(jnp.int32)
+    cell = jnp.floor(xyz / cs).astype(jnp.int32)
+    b = jnp.where(mask, _bucket(cell, n_buckets), jnp.int32(n_buckets))
+    big = jnp.int32(2**30)
+    vx = jnp.where(mask, vox[:, 0], big)
+    # one multi-key sort groups bucket runs AND voxel runs (a voxel lies
+    # inside one cell, so same-voxel rows are adjacent within a bucket run)
+    sb, svx, svy, svz, sx, sy, sz = jax.lax.sort(
+        (b, vx, vox[:, 1], vox[:, 2], xyz[:, 0], xyz[:, 1], xyz[:, 2]),
+        num_keys=4,
+    )
+    smask = sb < n_buckets
+    first_in_vox = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sb[1:] != sb[:-1]) | (svx[1:] != svx[:-1])
+            | (svy[1:] != svy[:-1]) | (svz[1:] != svz[:-1]),
+        ]
+    )
+
+    rows = table.table[jnp.where(smask, sb, 0)].reshape(n, s, 4)  # ONE gather
+    occ_valid = rows[..., 3] > 0.5
+    occ_vox = jnp.floor(rows[..., :3] / res).astype(jnp.int32)
+    pv = jnp.stack([svx, svy, svz], axis=1)
+    dup_map = jnp.any(
+        occ_valid & jnp.all(occ_vox == pv[:, None, :], axis=-1), axis=-1
+    )
+    keep = smask & first_in_vox & ~dup_map
+
+    # rank among KEPT rows within each bucket run (exclusive cumsum rebased
+    # at run starts via cummax — ek is nondecreasing)
+    ki = keep.astype(jnp.int32)
+    ek = jnp.cumsum(ki) - ki
+    new_b = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+    base = jax.lax.cummax(jnp.where(new_b, ek, -1))
+    rank = ek - base
+
+    # the rank-th FREE slot of the gathered bucket row (crop leaves holes, so
+    # occupancy is not a prefix): position where the running free count hits
+    # rank+1
+    free = ~occ_valid
+    cumfree = jnp.cumsum(free.astype(jnp.int32), axis=1)
+    hit = free & (cumfree == rank[:, None] + 1)
+    pos = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    ok = keep & jnp.any(hit, axis=1)
+    dest = jnp.where(ok, sb * s + pos, n_buckets * s)
+
+    new_rows = jnp.stack([sx, sy, sz, jnp.ones_like(sx)], axis=1)
+    flat = table.table.reshape(n_buckets * s, 4)
+    flat = flat.at[dest].set(new_rows, mode="drop")  # one scatter (batch-sized)
+    return CellTable(table=flat.reshape(n_buckets, s * 4), cell_size=cs)
+
+
+def crop_cell_table(table: CellTable, center: jax.Array, radius: float) -> CellTable:
+    """Invalidate slots beyond `radius` of `center` — one elementwise pass
+    over the table (no gather/sort/scatter), freeing slots for reuse."""
+    n_buckets = table.table.shape[0]
+    s = table.slots
+    rows = table.table.reshape(n_buckets, s, 4)
+    d2 = jnp.sum((rows[..., :3] - center) ** 2, axis=-1)
+    valid = (rows[..., 3] > 0.5) & (d2 < jnp.float32(radius) ** 2)
+    rows = jnp.concatenate(
+        [rows[..., :3], valid[..., None].astype(jnp.float32)], axis=-1
+    )
+    return CellTable(table=rows.reshape(n_buckets, s * 4), cell_size=table.cell_size)
+
+
+def cell_table_points(table: CellTable) -> Tuple[jax.Array, jax.Array]:
+    """All stored points as a flat ((B*S,3), (B*S,)) padded point set."""
+    rows = table.table.reshape(-1, 4)
+    return rows[:, :3], rows[:, 3] > 0.5
+
+
 def candidates_cell(table: CellTable, queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Raw candidate set per query: (points (Q,8*S,3), valid (Q,8*S)).
 

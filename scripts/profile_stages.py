@@ -109,9 +109,99 @@ def _load_workload(n_scans, synth):
     return [synthetic.simulate_scan(world, gt[i], rays, seed=5 + i) for i in range(n_scans)]
 
 
+def _lfa_components(cfg, c0, c1, cap):
+    """Carry-chained microbench of every fused-LFA step component (the
+    round-3 /tmp/prof_lfa3.py attack plan, preserved in-repo)."""
+    from lv_slam_tpu.lfa import registration as reg
+    from lv_slam_tpu.lfa.features import extract_features
+    from lv_slam_tpu.lfa.fused import _n_buckets, make_lfa_fused
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.knn import (
+        build_cell_table, crop_cell_table, insert_cell_table,
+    )
+
+    lcfg = cfg.lfa
+    carry_timed(
+        "extract_features",
+        lambda x, m: extract_features(PointCloud(x, jnp.zeros(cap), m), lcfg),
+        c0.xyz, c0.mask,
+    )
+    feats = jax.jit(
+        lambda x, m: extract_features(PointCloud(x, jnp.zeros(cap), m), lcfg)
+    )(c1.xyz, c1.mask)
+
+    rng = np.random.default_rng(0)
+    em = jnp.asarray(rng.uniform(-80, 80, (lcfg.map_edge_cap, 3)).astype(np.float32))
+    emk = jnp.asarray(np.arange(lcfg.map_edge_cap) < lcfg.map_edge_cap // 2)
+    sm = jnp.asarray(rng.uniform(-80, 80, (lcfg.map_planar_cap, 3)).astype(np.float32))
+    smk = jnp.asarray(np.arange(lcfg.map_planar_cap) < lcfg.map_planar_cap // 2)
+
+    def build_e(m, k):
+        return build_cell_table(
+            m, k, 2.0, n_buckets=_n_buckets(lcfg, lcfg.map_edge_cap), slots=lcfg.knn_slots
+        )
+
+    def build_s(m, k):
+        return build_cell_table(
+            m, k, 2.0, n_buckets=_n_buckets(lcfg, lcfg.map_planar_cap), slots=lcfg.knn_slots
+        )
+
+    carry_timed("build_cell edge(32k)", build_e, em, emk)
+    carry_timed("build_cell surf(64k)", build_s, sm, smk)
+    e_grid = jax.jit(build_e)(em, emk)
+    s_grid = jax.jit(build_s)(sm, smk)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    carry_timed(
+        "insert edge(4k batch)",
+        lambda t, y, m: insert_cell_table(t, y, m, lcfg.mapping_line_resolution),
+        e_grid, feats.less_sharp, feats.less_sharp_mask,
+    )
+    carry_timed(
+        "insert surf(8k batch)",
+        lambda t, y, m: insert_cell_table(t, y, m, lcfg.mapping_plane_resolution),
+        s_grid, feats.less_flat, feats.less_flat_mask,
+    )
+    carry_timed(
+        "crop edge table",
+        lambda t: crop_cell_table(t, jnp.zeros(3), lcfg.crop_radius), e_grid,
+    )
+    carry_timed(
+        "crop surf table",
+        lambda t: crop_cell_table(t, jnp.zeros(3), lcfg.crop_radius), s_grid,
+    )
+
+    carry_timed(
+        "lines_from_fit",
+        lambda y, m: reg.lines_from_fit(y, m, e_grid, k=lcfg.knn_k),
+        feats.less_sharp, feats.less_sharp_mask,
+    )
+    carry_timed(
+        "planes_from_fit",
+        lambda y, m: reg.planes_from_fit(y, m, s_grid, k=lcfg.knn_k),
+        feats.less_flat, feats.less_flat_mask,
+    )
+    lines = jax.jit(lambda y, m: reg.lines_from_fit(y, m, e_grid, k=lcfg.knn_k))(
+        feats.less_sharp, feats.less_sharp_mask
+    )
+    planes = jax.jit(lambda y, m: reg.planes_from_fit(y, m, s_grid, k=lcfg.knn_k))(
+        feats.less_flat, feats.less_flat_mask
+    )
+    carry_timed(
+        "gn_solve",
+        lambda t: reg.gn_solve(
+            t, feats.less_sharp, lines, feats.less_flat, planes, lcfg.mapping_max_iterations
+        ),
+        eye,
+    )
+    init_state, step = make_lfa_fused(lcfg, external_odom=True)
+    st0 = jax.jit(init_state)(c0.xyz, c0.mask, eye)
+    carry_timed("FULL lfa step", lambda x, m: step(st0, x, m, eye)[1], c1.xyz, c1.mask)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true", help="kernel microbenches")
+    ap.add_argument("--lfa", action="store_true", help="LFA component microbenches")
     ap.add_argument("--synth", action="store_true", help="ray-trace instead of cache")
     args = ap.parse_args()
     n_scans = int(os.environ.get("N", "64"))
@@ -127,6 +217,10 @@ def main():
     mask = jnp.asarray(np.stack([np.asarray(c.mask) for c in clouds]))
     stamps = jnp.arange(n_scans, dtype=jnp.float32) * 0.1
     c0, c1 = clouds[0], clouds[1]
+
+    if args.lfa:
+        _lfa_components(cfg, c0, c1, cap)
+        return
 
     if args.kernels:
         from lv_slam_tpu.lfa.features import extract_features

@@ -71,3 +71,84 @@ def test_cell_table_agrees_with_sorted_grid(rng):
     agree = np.abs(d1 - d2) < 1e-4
     # hash collisions / slot caps may cost a few queries; require >= 95%
     assert agree.mean() > 0.95, agree.mean()
+
+
+def test_insert_cell_table_incremental(rng):
+    """Incremental insertion semantics: dedup-first at voxel resolution (the
+    map wins), within-batch dedup, per-cell slot cap, and query parity with
+    a from-scratch build over the same survivors."""
+    import jax
+
+    from lv_slam_tpu.ops.knn import (
+        crop_cell_table, empty_cell_table, insert_cell_table,
+    )
+
+    res, cell, slots, nb = 0.5, 2.0, 6, 4096
+    pts = rng.uniform(-20, 20, (3000, 3)).astype(np.float32)
+    mask = np.ones(3000, bool)
+    mask[2500:] = False
+    pts[2500:] = 1e6
+
+    t0 = empty_cell_table(nb, slots, cell)
+    t1 = jax.jit(lambda t, x, m: insert_cell_table(t, x, m, res))(
+        t0, jnp.asarray(pts), jnp.asarray(mask)
+    )
+    rows = np.asarray(t1.table).reshape(nb, slots, 4)
+    stored = rows[rows[..., 3] > 0.5][:, :3]
+    # every stored point is a real input point
+    for p in stored[::17]:
+        assert np.abs(pts[:2500] - p).sum(axis=1).min() < 1e-5
+    # one stored point per voxel at most
+    vox = np.floor(stored / res).astype(np.int64)
+    uniq = np.unique(vox, axis=0)
+    assert uniq.shape[0] == vox.shape[0]
+
+    # re-inserting the same batch changes NOTHING (map wins on dup voxels)
+    t2 = jax.jit(lambda t, x, m: insert_cell_table(t, x, m, res))(
+        t1, jnp.asarray(pts), jnp.asarray(mask)
+    )
+    np.testing.assert_array_equal(np.asarray(t2.table), np.asarray(t1.table))
+
+    # query parity: nearest neighbor matches a from-scratch table built over
+    # the stored survivors
+    queries = jnp.asarray(pts[:200] + rng.normal(0, 0.05, (200, 3)).astype(np.float32))
+    smask = np.zeros(stored.shape[0] + 1, bool); smask[:-1] = True
+    spts = np.concatenate([stored, [[1e6, 1e6, 1e6]]], 0).astype(np.float32)
+    ref = build_cell_table(jnp.asarray(spts), jnp.asarray(smask), cell,
+                           n_buckets=nb, slots=slots)
+    d1, _, v1 = knn_cell(t1, queries, k=1)
+    d2, _, v2 = knn_cell(ref, queries, k=1)
+    close = np.asarray(d1)[:, 0] < cell / 2
+    agree = np.abs(np.asarray(d1)[:, 0] - np.asarray(d2)[:, 0]) < 1e-4
+    assert (agree | ~close).mean() > 0.95
+
+
+def test_insert_cell_table_slot_overflow_and_crop_reuse(rng):
+    """A full cell drops overflow points; crop frees slots for reuse."""
+    import jax
+
+    from lv_slam_tpu.ops.knn import (
+        crop_cell_table, empty_cell_table, insert_cell_table,
+    )
+
+    res, cell, slots, nb = 0.1, 2.0, 4, 1024
+    # 20 points in ONE cell, distinct voxels
+    pts = (0.15 * np.arange(20)[:, None] * np.array([[1.0, 0, 0]])).astype(np.float32)
+    pts += 0.05
+    mask = np.ones(20, bool)
+    t0 = empty_cell_table(nb, slots, cell)
+    ins = jax.jit(lambda t, x, m: insert_cell_table(t, x, m, res))
+    t1 = ins(t0, jnp.asarray(pts[:20]), jnp.asarray(mask))
+    rows = np.asarray(t1.table).reshape(nb, slots, 4)
+    # two cells covered (13 points in x<2.0, 7 in x>=2.0), each capped at
+    # `slots` stored points
+    n_valid = int((rows[..., 3] > 0.5).sum())
+    assert n_valid == 2 * slots, n_valid
+
+    # crop around far center frees everything; a later insert reuses slots
+    t2 = crop_cell_table(t1, jnp.asarray([100.0, 0, 0]), 1.0)
+    rows2 = np.asarray(t2.table).reshape(nb, slots, 4)
+    assert int((rows2[..., 3] > 0.5).sum()) == 0
+    t3 = ins(t2, jnp.asarray(pts), jnp.asarray(mask))
+    rows3 = np.asarray(t3.table).reshape(nb, slots, 4)
+    assert int((rows3[..., 3] > 0.5).sum()) == 2 * slots
