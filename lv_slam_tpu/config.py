@@ -38,6 +38,9 @@ class PrefilterConfig:
     radius_min_neighbors: int = 5
     use_angle_calibration: bool = False
     angle_base: float = 0.11  # degrees, vertical-angle calibration rotation
+    # run-sum implementation for the voxel centroid: "scatter" (segment_sum)
+    # or "scan" (segmented prefix scan, no scatter) — see ops/prefilter.py
+    voxel_reduce: str = "scatter"
     # --- capacities (TPU static shapes) ---
     raw_cap: int = 131072  # max raw points per scan (KITTI HDL-64 ~130k)
     out_cap: int = 131072  # max points after filtering
@@ -103,6 +106,12 @@ class OdometryConfig:
     # saturate well below 65k samples). 0 disables. The backend still
     # receives the full filtered cloud.
     scan_matching_cap: int = 65536
+    # "gather": exactly min(count, cap) survivors via a strided index gather
+    # (unbiased, pays one cap-sized gather). "stride": a pure strided SLICE
+    # keeping every (cap/scan_matching_cap)-th lane — zero gathers, but keeps
+    # only count/stride points when the cloud underfills its capacity.
+    # A/B these on-chip; the align itself is insensitive down to ~30k samples.
+    subsample_method: str = "gather"
     ndt: NDTConfig = dataclasses.field(default_factory=NDTConfig)
 
 

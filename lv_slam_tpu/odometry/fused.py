@@ -27,7 +27,12 @@ from lv_slam_tpu.config import OdometryConfig, PrefilterConfig
 from lv_slam_tpu.core import se3
 from lv_slam_tpu.core.cloud import PointCloud
 from lv_slam_tpu.ops.ndt_soa import ndt_align_soa as ndt_align
-from lv_slam_tpu.ops.prefilter import distance_filter, uniform_subsample, voxel_downsample
+from lv_slam_tpu.ops.prefilter import (
+    distance_filter,
+    stride_subsample,
+    uniform_subsample,
+    voxel_downsample,
+)
 from lv_slam_tpu.ops.voxel_map import VoxelMap, build_voxel_map
 
 
@@ -47,7 +52,10 @@ def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
     if cfg.use_distance_filter:
         out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
     if cfg.downsample_method.upper() in ("VOXELGRID", "APPROX_VOXELGRID"):
-        out = voxel_downsample(out, cfg.downsample_resolution, cfg.out_cap, cfg.downsample_method)
+        out = voxel_downsample(
+            out, cfg.downsample_resolution, cfg.out_cap, cfg.downsample_method,
+            reduce=cfg.voxel_reduce,
+        )
     else:
         # distance_filter only clears mask bits; uniform_subsample downstream
         # requires a front-compacted cloud (matches ops/prefilter.prefilter)
@@ -55,11 +63,19 @@ def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
     return out
 
 
-def _prefilter(cloud: PointCloud, cfg: PrefilterConfig, scan_matching_cap: int = 0) -> PointCloud:
+def _prefilter(
+    cloud: PointCloud,
+    cfg: PrefilterConfig,
+    scan_matching_cap: int = 0,
+    subsample_method: str = "gather",
+) -> PointCloud:
     out = _prefilter_mid(cloud, cfg)
     if scan_matching_cap and scan_matching_cap < out.cap:
         # bounded-lane scan matching (OdometryConfig.scan_matching_cap)
-        out = uniform_subsample(out, scan_matching_cap)
+        if subsample_method == "stride":
+            out = stride_subsample(out, scan_matching_cap)
+        else:
+            out = uniform_subsample(out, scan_matching_cap)
     return out
 
 
@@ -161,7 +177,7 @@ def make_fused_step(
 
     def init_state(cloud: PointCloud, stamp) -> FusedState:
         filtered = (
-            _prefilter(cloud, prefilter_cfg, cfg.scan_matching_cap)
+            _prefilter(cloud, prefilter_cfg, cfg.scan_matching_cap, cfg.subsample_method)
             if prefilter_cfg else cloud
         )
         eye = jnp.eye(4, dtype=jnp.float32)
@@ -179,11 +195,11 @@ def make_fused_step(
     def step(state: FusedState, cloud: PointCloud, stamp) -> Tuple[FusedState, jax.Array]:
         if prefilter_cfg is not None:
             mid = _prefilter_mid(cloud, prefilter_cfg)
-            filtered = (
-                uniform_subsample(mid, cfg.scan_matching_cap)
-                if cfg.scan_matching_cap and cfg.scan_matching_cap < mid.cap
-                else mid
-            )
+            if cfg.scan_matching_cap and cfg.scan_matching_cap < mid.cap:
+                sub = stride_subsample if cfg.subsample_method == "stride" else uniform_subsample
+                filtered = sub(mid, cfg.scan_matching_cap)
+            else:
+                filtered = mid
         else:
             mid = filtered = cloud
         result = align(state.key_map, filtered, state.guess)

@@ -51,6 +51,7 @@ def voxel_downsample(
     resolution: float,
     out_cap: int,
     method: str = "VOXELGRID",
+    reduce: str = "scatter",
 ) -> PointCloud:
     """Centroid (VOXELGRID) or cell-center (APPROX_VOXELGRID) downsampling.
 
@@ -65,6 +66,15 @@ def voxel_downsample(
     windows in `window_group_fn`). The exact `segment_sum` stays: a global
     cumsum-difference centroid would lose ~0.5 m of f32 precision at the
     far end of a 131k-point prefix sum.
+
+    `reduce` picks the run-sum implementation (VOXELGRID only):
+    - "scatter": `segment_sum` (one scatter whose cost scales with the lane
+      count — the measured ~3 ms/196k-updates class).
+    - "scan": log-doubling SEGMENTED prefix scan (17 shifted adds, no
+      scatter; per-run sums are exact — each run restarts at its boundary,
+      so no global-prefix f32 cancellation) + run-end compaction via one
+      bool argsort and one packed gather. A/B candidate where scatters are
+      the bottleneck.
     """
     n = cloud.cap
     res = jnp.float32(resolution)
@@ -93,9 +103,6 @@ def voxel_downsample(
             (skx[1:] != skx[:-1]) | (sky[1:] != sky[:-1]) | (skz[1:] != skz[:-1]),
         ]
     ) & smask
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    seg_id = jnp.where(smask, seg_id, n)  # invalid lanes -> scratch bucket
-    num_seg = n + 1
 
     seg_in = jnp.stack(
         [
@@ -107,11 +114,34 @@ def voxel_downsample(
         ],
         axis=1,
     )
-    # seg ids are dense ascending over the valid prefix: the sum rows come
-    # out already front-compacted in voxel-key order — slice, don't sort
-    sums = jax.ops.segment_sum(
-        seg_in, seg_id, num_segments=num_seg, indices_are_sorted=True
-    )[:out_cap]
+    if reduce == "scan" and method.upper() != "APPROX_VOXELGRID":
+        # segmented inclusive prefix scan by doubling: v[i] accumulates back
+        # to its run start (flags stop propagation at boundaries)
+        v = seg_in
+        f = new_seg | ~smask  # invalid lanes are 1-element runs
+        d = 1
+        while d < n:
+            vprev = jnp.concatenate([jnp.zeros((d, 5), v.dtype), v[:-d]], axis=0)
+            fprev = jnp.concatenate([jnp.ones((d,), bool), f[:-d]], axis=0)
+            v = jnp.where(f[:, None], v, v + vprev)
+            f = f | fprev
+            d *= 2
+        # the run's total lives at its LAST row; compact ends to the front
+        # (they are already in voxel-key order, argsort is stable)
+        is_end = jnp.concatenate([new_seg[1:] | ~smask[1:], jnp.ones((1,), bool)])
+        is_end = is_end & smask
+        sel = jnp.argsort(~is_end, stable=True)[:out_cap]
+        sums = v[sel]                                     # one packed gather
+        sums = jnp.where(is_end[sel][:, None], sums, 0.0)
+    else:
+        seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+        seg_id = jnp.where(smask, seg_id, n)  # invalid lanes -> scratch bucket
+        num_seg = n + 1
+        # seg ids are dense ascending over the valid prefix: the sum rows come
+        # out already front-compacted in voxel-key order — slice, don't sort
+        sums = jax.ops.segment_sum(
+            seg_in, seg_id, num_segments=num_seg, indices_are_sorted=True
+        )[:out_cap]
     counts = sums[:, 4]
     cnt = jnp.maximum(counts, 1.0)
     if method.upper() == "APPROX_VOXELGRID":
@@ -217,6 +247,23 @@ def uniform_subsample(cloud: PointCloud, out_cap: int) -> PointCloud:
     )
 
 
+def stride_subsample(cloud: PointCloud, out_cap: int) -> PointCloud:
+    """Pure strided-slice subsample: every (cap/out_cap)-th lane, ZERO gathers.
+
+    Requires cap % out_cap == 0. Unlike `uniform_subsample` this does not
+    need a front-compacted input and pays no gather, but keeps only
+    count/stride valid points (vs min(count, out_cap)) when the cloud
+    underfills its capacity — the A/B alternative for the scan-matching
+    subsample (`OdometryConfig.subsample_method`)."""
+    n = cloud.cap
+    if out_cap >= n:
+        return cloud
+    if n % out_cap != 0:
+        raise ValueError(f"stride_subsample needs cap % out_cap == 0, got {n} % {out_cap}")
+    k = n // out_cap
+    return PointCloud(cloud.xyz[::k], cloud.intensity[::k], cloud.mask[::k])
+
+
 def prefilter(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
     """Full prefiltering chain (`prefiltering_nodelet.cpp:92-135`)."""
     out = cloud
@@ -226,7 +273,9 @@ def prefilter(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
         out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
     method = cfg.downsample_method.upper()
     if method in ("VOXELGRID", "APPROX_VOXELGRID"):
-        out = voxel_downsample(out, cfg.downsample_resolution, cfg.out_cap, method)
+        out = voxel_downsample(
+            out, cfg.downsample_resolution, cfg.out_cap, method, reduce=cfg.voxel_reduce
+        )
     else:
         out = out.compact(cfg.out_cap)
     if cfg.outlier_removal_method.upper() == "STATISTICAL":

@@ -193,3 +193,57 @@ def test_prefilter_none_branch_compacts_before_subsample():
     az_band = np.arctan2(band[:, 1], band[:, 0])
     hist_k, _ = np.histogram(az_kept, bins=8, range=(-np.pi, np.pi))
     assert (hist_k > 0).all(), hist_k  # no azimuth sector starved
+
+
+def test_voxel_downsample_scan_reduce_matches_scatter():
+    """reduce="scan" (segmented prefix scan, no scatter) must reproduce the
+    segment_sum path: same voxels, same order, centroids equal to f32
+    accumulation-order tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import voxel_downsample
+
+    rng = np.random.default_rng(4)
+    n, out_cap = 8192, 4096
+    pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    pts[: n // 4] = pts[0] + rng.uniform(0, 0.08, (n // 4, 3))  # one dense voxel
+    raw = np.concatenate([pts, rng.uniform(0, 1, (n, 1)).astype(np.float32)], 1)
+    cloud = PointCloud.from_numpy(raw, cap=n)
+    a = jax.jit(lambda c: voxel_downsample(c, 0.1, out_cap, reduce="scatter"))(cloud)
+    b = jax.jit(lambda c: voxel_downsample(c, 0.1, out_cap, reduce="scan"))(cloud)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    m = np.asarray(a.mask)
+    np.testing.assert_allclose(
+        np.asarray(a.xyz)[m], np.asarray(b.xyz)[m], rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.intensity)[m], np.asarray(b.intensity)[m], rtol=0, atol=1e-4
+    )
+
+
+def test_stride_subsample_matches_gather_on_full_cloud():
+    """When the cloud fills its capacity (KITTI regime), stride_subsample
+    picks the same every-k-th lanes as uniform_subsample; on underfilled
+    clouds it keeps count/stride points, evenly spread."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import stride_subsample, uniform_subsample
+
+    rng = np.random.default_rng(5)
+    n, out_cap = 4096, 1024
+    pts = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    full = PointCloud.from_numpy(pts, cap=n)
+    a = uniform_subsample(full, out_cap)
+    b = stride_subsample(full, out_cap)
+    np.testing.assert_array_equal(np.asarray(a.xyz), np.asarray(b.xyz))
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+    half = PointCloud.from_numpy(pts[: n // 2], cap=n)
+    s = stride_subsample(half, out_cap)
+    m = np.asarray(s.mask)
+    assert int(m.sum()) == n // 2 // (n // out_cap)
+    kept = np.asarray(s.xyz)[m]
+    np.testing.assert_allclose(kept, pts[: n // 2 : n // out_cap], atol=0)
