@@ -117,6 +117,19 @@ def main():
     from lv_slam_tpu.io import synthetic
 
     cfg = kitti_flagship_config()
+    # A/B path selection for on-chip sweeps (defaults = shipped config):
+    # BENCH_VOXEL_REDUCE=scan|scatter, BENCH_SUBSAMPLE=stride|gather
+    import dataclasses as _dc
+
+    vr = os.environ.get("BENCH_VOXEL_REDUCE")
+    sub = os.environ.get("BENCH_SUBSAMPLE")
+    if vr or sub:
+        pf = _dc.replace(cfg.prefilter, **({"voxel_reduce": vr} if vr else {}))
+        od = _dc.replace(cfg.odometry, **({"subsample_method": sub} if sub else {}))
+        cfg = _dc.replace(cfg, prefilter=pf, odometry=od)
+        extra_ab = {k: v for k, v in (("voxel_reduce", vr), ("subsample", sub)) if v}
+    else:
+        extra_ab = {}
 
     world = synthetic.make_world(seed=5)
     gt_poses = synthetic.circle_trajectory(n_scans, step=1.0)
@@ -148,7 +161,8 @@ def main():
             pass
     cap = cfg.prefilter.raw_cap
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses)
-    extra = {"mode": mode, "raw_points": int(np.mean([s.shape[0] for s in scans]))}
+    extra = {"mode": mode, "raw_points": int(np.mean([s.shape[0] for s in scans])),
+             **extra_ab}
 
     if mode in ("fused", "full", "dlo_ggo"):
         from lv_slam_tpu.odometry.fused import run_sequence_fused
@@ -270,6 +284,21 @@ def main():
                 extra["bow_active"] = backend.loop_detector.vocabulary is not None
             return np.concatenate(all_poses, axis=0)
 
+        if os.environ.get("BENCH_ACCURACY_ONLY") == "1":
+            # ONE pass, no reps/deltas/fleet: validates the accuracy fields
+            # (devkit_t_err, n_loops, tracking_ok) at full workload density.
+            # Runnable on CPU (`env -u PYTHONPATH JAX_PLATFORMS=cpu`) when the
+            # TPU relay is down — the math is platform-independent; only the
+            # throughput figure (reported as null) needs the chip.
+            t0 = time.perf_counter()
+            est = run_chain(mode == "full")
+            elapsed = time.perf_counter() - t0
+            timed = n_scans
+            extra["accuracy_only"] = True
+            extra["loop_ms_per_scan"] = round(loop_time[0] / n_scans * 1000.0, 2)
+            _finish(mode, est, gt_rel, n_scans, timed, elapsed, extra,
+                    value_is_throughput=False)
+            return
         # warm-up compiles every step variant once
         est = run_chain(mode == "full")
         reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
@@ -364,6 +393,11 @@ def main():
         timed = n_scans - warm
         extra["keyframes"] = odo.stats.keyframe_count
 
+    _finish(mode, est, gt_rel, n_scans, timed, elapsed, extra)
+
+
+def _finish(mode, est, gt_rel, n_scans, timed, elapsed, extra,
+            value_is_throughput=True):
     scans_per_sec = timed / elapsed
     # accuracy gates: throughput of a diverged run is meaningless
     final_err = np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3])
@@ -383,9 +417,9 @@ def main():
     }.get(mode, "dlo_scans_per_sec_per_chip")
     result = {
         "metric": metric,
-        "value": round(scans_per_sec, 2),
+        "value": round(scans_per_sec, 2) if value_is_throughput else None,
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 10.0, 2),
+        "vs_baseline": round(scans_per_sec / 10.0, 2) if value_is_throughput else None,
         "extra": {
             "n_scans": timed,
             "final_traj_err_m": round(float(final_err), 4),

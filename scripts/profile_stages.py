@@ -126,6 +126,40 @@ def _lfa_components(cfg, c0, c1, cap):
         lambda x, m: extract_features(PointCloud(x, jnp.zeros(cap), m), lcfg),
         c0.xyz, c0.mask,
     )
+
+    # extraction internals (the VERDICT-r3 "scatter-min" candidate): where do
+    # the ~ms go — projection scatter, row compaction sort, curvature rolls,
+    # or the three top_k networks?
+    from lv_slam_tpu.lfa import features as F
+
+    def _proj(x, m):
+        return F.project_range_image(
+            PointCloud(x, jnp.zeros(cap), m), n_rings=lcfg.scan_line,
+            minimum_range=lcfg.minimum_range, min_elev_deg=lcfg.min_elev_deg,
+            max_elev_deg=lcfg.max_elev_deg,
+        )
+
+    carry_timed("  project_range_image", _proj, c0.xyz, c0.mask)
+    img, vld = jax.jit(_proj)(c0.xyz, c0.mask)
+    carry_timed("  compact_rows", F.compact_rows, img, vld)
+    cimg, cvld = jax.jit(F.compact_rows)(img, vld)
+    carry_timed("  curvature+extrema",
+                lambda i, v: F._local_extrema(
+                    jnp.nan_to_num(F.curvature(i, v)[0], nan=-jnp.inf), 2, True),
+                cimg, cvld)
+    cc, cok = jax.jit(F.curvature)(cimg, cvld)
+
+    def _picks(i, c, ok):
+        e = F._sector_topk(i, c, ok, lcfg.less_sharp_per_sector, lcfg.n_sectors, True)
+        f = F._sector_topk(i, c, ok, lcfg.flat_per_sector, lcfg.n_sectors, False)
+        g = F._sector_topk(
+            i, c, ok, max(1, lcfg.planar_cap // (lcfg.n_sectors * lcfg.scan_line)),
+            lcfg.n_sectors, False)
+        return (F._compact(e[0], e[1], lcfg.edge_cap),
+                F._compact(f[0], f[1], lcfg.planar_cap // 4),
+                F._compact(g[0], g[1], lcfg.planar_cap))
+
+    carry_timed("  sector_topk+compacts", _picks, cimg, cc, cok)
     feats = jax.jit(
         lambda x, m: extract_features(PointCloud(x, jnp.zeros(cap), m), lcfg)
     )(c1.xyz, c1.mask)

@@ -22,6 +22,11 @@ def main():
         help="circle = closed loop sized to the scan count, run with "
         "kylin-scale keyframe/loop gates so visual loop closure fires",
     )
+    ap.add_argument(
+        "--live-port", type=int, default=None,
+        help="serve live trajectory/map monitoring (RViz analog) on this "
+        "port; 0 picks a free port (utils/live_viz.py)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -55,11 +60,26 @@ def main():
         cfg = PipelineConfig()
     images = [synthetic.render_camera_image(world, gt[i], seed=5) for i in range(args.scans)]
 
+    viz = None
+    if args.live_port is not None:
+        from lv_slam_tpu.utils.live_viz import LiveViz
+
+        viz = LiveViz(port=args.live_port)
+        print(f"live view: http://127.0.0.1:{viz.start()}/")
+
     slam = LvSlam(cfg, use_lfa=not args.no_lfa, optimize_every=50, scan_cap=65536)
     t0 = time.perf_counter()
-    poses = [slam.process(s, i * 0.1, image=images[i]) for i, s in enumerate(scans)]
+    poses = []
+    for i, s in enumerate(scans):
+        poses.append(slam.process(s, i * 0.1, image=images[i]))
+        if viz is not None and (i + 1) % 10 == 0:
+            viz.publish(trajectory=np.stack(poses))
+            viz.publish_backend(slam.backend)
     slam.finalize()
     elapsed = time.perf_counter() - t0
+    if viz is not None:
+        viz.publish(trajectory=np.stack(poses))
+        viz.publish_backend(slam.backend)
 
     est = np.stack(poses)
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)

@@ -60,6 +60,7 @@ def _build_backend():
     return GlobalGraph(cfg, loop_cfg, keyframe_cloud_cap=65536)
 
 
+@pytest.mark.slow
 def test_backend_loop_closure(circle_run):
     scans, gt, odoms, images = circle_run
     backend = _build_backend()
@@ -172,6 +173,7 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
     assert resumed.save_map(str(tmp_path / "resumed_map.pcd"), resolution=0.3)
 
 
+@pytest.mark.slow
 def test_add_scan_batch_parity(circle_run):
     """Chunk-level `add_scan_batch` matches the per-scan `add_scan` path fed
     prefiltered slices: identical keyframe schedule, equivalent keyframe

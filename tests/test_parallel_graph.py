@@ -1,10 +1,12 @@
 import numpy as np
+import pytest
 
 from lv_slam_tpu.graph import pose_graph as pg
 from lv_slam_tpu.parallel import mesh as pmesh
 from tests.test_pose_graph import _chain_graph
 
 
+@pytest.mark.slow
 def test_sharded_pose_graph_matches_single(rng):
     graph, gt, est = _chain_graph(rng, n=12, with_loop=True, huber=1.0)
     single = pg.optimize_pose_graph(graph, 32)
