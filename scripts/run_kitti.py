@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every, vocabulary):
+def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
+               vocabulary, viz=None):
     """Chunked device-resident pipeline: the dlo and lfa lax.scan programs
     process `chunk` scans per dispatch, threading their carry state between
     chunks (exact equality with the unchunked run); the global graph consumes
@@ -59,6 +60,9 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
             if (p_seq + i + 1) % optimize_every == 0:
                 backend.optimize()
         poses.extend(refined_np)
+        if viz is not None:
+            viz.publish(trajectory=np.stack(poses))
+            viz.publish_backend(backend)
         rate = (p_seq + n) / (time.perf_counter() - t0)
         print(f"scan {p_seq + n}/{len(scan_files)}  {rate:.1f} scans/s")
 
@@ -147,6 +151,11 @@ def main():
         "(one dispatch per chunk per stage instead of several per scan)",
     )
     ap.add_argument(
+        "--live-port", type=int, default=None,
+        help="serve live trajectory/graph monitoring (RViz analog) on this "
+        "port; 0 picks a free port (utils/live_viz.py)",
+    )
+    ap.add_argument(
         "--chunk", type=int, default=32,
         help="scans per fused chunk (HBM bound: stacked (chunk,cap,3) clouds "
         "tile-pad the minor dim 3 up to 128 on TPU — 42.7x the logical size)",
@@ -179,11 +188,18 @@ def main():
 
     from lv_slam_tpu import native
 
+    viz = None
+    if args.live_port is not None:
+        from lv_slam_tpu.utils.live_viz import LiveViz
+
+        viz = LiveViz(port=args.live_port)
+        print(f"live view: http://127.0.0.1:{viz.start()}/")
+
     t0 = time.perf_counter()
     if args.fused:
         poses, backend = _run_fused(
             scan_files, image_files, cfg, not args.no_lfa, args.chunk, tr,
-            args.optimize_every, vocabulary,
+            args.optimize_every, vocabulary, viz=viz,
         )
     else:
         slam = LvSlam(
@@ -200,6 +216,9 @@ def main():
                 )
                 pose = slam.process(scan, i * 0.1, image=img)
                 poses.append(pose)
+                if viz is not None and (i + 1) % 10 == 0:
+                    viz.publish(trajectory=np.stack(poses))
+                    viz.publish_backend(slam.backend)
                 if i % 50 == 0:
                     rate = (i + 1) / (time.perf_counter() - t0)
                     print(f"scan {i}/{len(scan_files)}  {rate:.1f} scans/s")

@@ -69,3 +69,35 @@ def test_fleet_matches_single_sequence(sequences):
         # at full density is covered by test_fused (the tiny 64 m LUT and
         # 4k-leaf map here truncate the scene)
         assert err < 0.5, (s, err)
+
+
+def test_fleet_with_lfa_matches_single(sequences):
+    """The LFA-coupled fleet (the bench's fleet_* program: dlo feeding the
+    fused LFA refinement per lane) matches the single-sequence chain
+    run_sequence_fused -> run_sequence_lfa on each shard."""
+    from lv_slam_tpu.config import LfaConfig
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+    from lv_slam_tpu.odometry.fused import run_sequence_fused
+
+    xyz, mask, stamps, _ = sequences
+    xyz, mask, stamps = xyz[:4], mask[:4], stamps[:4]
+    lfa_cfg = LfaConfig(
+        scan_line=32, edge_cap=1024, planar_cap=2048,
+        map_edge_cap=8192, map_planar_cap=16384,
+    )
+
+    singles = {}
+    for s in (0, 3):
+        odom = run_sequence_fused(xyz[s], mask[s], stamps[s], _CFG)
+        singles[s] = np.asarray(
+            run_sequence_lfa(xyz[s], mask[s], lfa_cfg, odom_poses=odom)
+        )
+
+    m = pmesh.make_mesh(n_batch=4, n_point=1)
+    poses = np.asarray(
+        fleet.run_fleet_odometry(m, xyz, mask, stamps, _CFG, lfa_cfg=lfa_cfg)
+    )
+    assert poses.shape == (4, 4, 4, 4)
+    assert np.isfinite(poses).all()
+    for s in (0, 3):
+        np.testing.assert_allclose(poses[s], singles[s], atol=5e-3)
