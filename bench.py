@@ -118,16 +118,26 @@ def main():
 
     cfg = kitti_flagship_config()
     # A/B path selection for on-chip sweeps (defaults = shipped config):
-    # BENCH_VOXEL_REDUCE=scan|scatter, BENCH_SUBSAMPLE=stride|gather
+    # BENCH_VOXEL_REDUCE=scan|scatter, BENCH_SUBSAMPLE=stride|gather,
+    # BENCH_DOWNSAMPLE=DEDUP|VOXELGRID|APPROX_VOXELGRID
     import dataclasses as _dc
 
     vr = os.environ.get("BENCH_VOXEL_REDUCE")
     sub = os.environ.get("BENCH_SUBSAMPLE")
-    if vr or sub:
-        pf = _dc.replace(cfg.prefilter, **({"voxel_reduce": vr} if vr else {}))
+    ds = os.environ.get("BENCH_DOWNSAMPLE")
+    if vr or sub or ds:
+        pf = _dc.replace(
+            cfg.prefilter,
+            **({"voxel_reduce": vr} if vr else {}),
+            **({"downsample_method": ds} if ds else {}),
+        )
         od = _dc.replace(cfg.odometry, **({"subsample_method": sub} if sub else {}))
         cfg = _dc.replace(cfg, prefilter=pf, odometry=od)
-        extra_ab = {k: v for k, v in (("voxel_reduce", vr), ("subsample", sub)) if v}
+        extra_ab = {
+            k: v
+            for k, v in (("voxel_reduce", vr), ("subsample", sub), ("downsample", ds))
+            if v
+        }
     else:
         extra_ab = {}
 

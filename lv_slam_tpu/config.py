@@ -24,7 +24,10 @@ class PrefilterConfig:
     use_distance_filter: bool = True
     distance_near_thresh: float = 0.5
     distance_far_thresh: float = 100.0
-    # NONE | VOXELGRID | APPROX_VOXELGRID
+    # NONE | VOXELGRID | APPROX_VOXELGRID | DEDUP (first point per voxel —
+    # no segment reduction; at 0.1 m resolution almost every occupied voxel
+    # holds one KITTI return, so this is a cheap near-equivalent A/B of
+    # VOXELGRID — see ops/prefilter.voxel_dedup_first)
     downsample_method: str = "VOXELGRID"
     downsample_resolution: float = 0.1
     # NONE | RADIUS | STATISTICAL.  NOTE: the reference's RADIUS branch never

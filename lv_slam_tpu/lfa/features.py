@@ -93,13 +93,15 @@ def compact_rows(image: jax.Array, valid: jax.Array):
 
     ONE stable multi-operand `lax.sort` carries the coordinates through the
     sort network, replacing argsort + two row gathers (gathers cost ~0.5 ms
-    per 65k indices on v5e; the carried sort is measurably cheaper)."""
+    per 65k indices on v5e; the carried sort is measurably cheaper). The
+    sorted validity is the sorted KEY itself (key 0 = valid), so no separate
+    valid column rides the sort."""
     key = (~valid).astype(jnp.int32)
-    _, x, y, z, v = jax.lax.sort(
-        (key, image[..., 0], image[..., 1], image[..., 2], valid),
+    sk, x, y, z = jax.lax.sort(
+        (key, image[..., 0], image[..., 1], image[..., 2]),
         dimension=1, is_stable=True, num_keys=1,
     )
-    return jnp.stack([x, y, z], axis=-1), v
+    return jnp.stack([x, y, z], axis=-1), sk == 0
 
 
 def _window_sum(x: jax.Array, half: int) -> jax.Array:

@@ -31,6 +31,7 @@ from lv_slam_tpu.ops.prefilter import (
     distance_filter,
     stride_subsample,
     uniform_subsample,
+    voxel_dedup_first,
     voxel_downsample,
 )
 from lv_slam_tpu.ops.voxel_map import VoxelMap, build_voxel_map
@@ -56,6 +57,8 @@ def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
             out, cfg.downsample_resolution, cfg.out_cap, cfg.downsample_method,
             reduce=cfg.voxel_reduce,
         )
+    elif cfg.downsample_method.upper() == "DEDUP":
+        out = voxel_dedup_first(out, cfg.downsample_resolution, cfg.out_cap)
     else:
         # distance_filter only clears mask bits; uniform_subsample downstream
         # requires a front-compacted cloud (matches ops/prefilter.prefilter)

@@ -157,23 +157,28 @@ def insert_cell_table(
     cs = table.cell_size
     res = jnp.float32(resolution)
 
+    from lv_slam_tpu.ops.prefilter import _pack_yz, _unpack_yz
+
     vox = jnp.floor(xyz / res).astype(jnp.int32)
     cell = jnp.floor(xyz / cs).astype(jnp.int32)
     b = jnp.where(mask, _bucket(cell, n_buckets), jnp.int32(n_buckets))
     big = jnp.int32(2**30)
     vx = jnp.where(mask, vox[:, 0], big)
+    vyz = _pack_yz(vox[:, 1], vox[:, 2])  # one packed key column (world vox
+    # coords stay within the ±16384 pack range for runs under ~6.5 km at the
+    # 0.4 m line resolution — one fewer carried sort operand)
     # one multi-key sort groups bucket runs AND voxel runs (a voxel lies
     # inside one cell, so same-voxel rows are adjacent within a bucket run)
-    sb, svx, svy, svz, sx, sy, sz = jax.lax.sort(
-        (b, vx, vox[:, 1], vox[:, 2], xyz[:, 0], xyz[:, 1], xyz[:, 2]),
-        num_keys=4,
+    sb, svx, svyz, sx, sy, sz = jax.lax.sort(
+        (b, vx, vyz, xyz[:, 0], xyz[:, 1], xyz[:, 2]),
+        num_keys=3,
     )
+    svy, svz = _unpack_yz(svyz)
     smask = sb < n_buckets
     first_in_vox = jnp.concatenate(
         [
             jnp.ones((1,), bool),
-            (sb[1:] != sb[:-1]) | (svx[1:] != svx[:-1])
-            | (svy[1:] != svy[:-1]) | (svz[1:] != svz[:-1]),
+            (sb[1:] != sb[:-1]) | (svx[1:] != svx[:-1]) | (svyz[1:] != svyz[:-1]),
         ]
     )
 

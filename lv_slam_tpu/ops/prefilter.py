@@ -14,6 +14,8 @@ Behavioral rebuild of `src/lidar_odometry/prefiltering_nodelet.cpp`:
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,29 @@ def vertical_angle_calibration(cloud: PointCloud, angle_base_deg: float) -> Poin
     xyz = jnp.einsum("nij,nj->ni", rot, p)
     xyz = jnp.where(cloud.mask[:, None], xyz, SENTINEL)
     return PointCloud(xyz, cloud.intensity, cloud.mask)
+
+
+def _pack_yz(cy: jax.Array, cz: jax.Array) -> jax.Array:
+    """Order-preserving pack of two int32 voxel coords into ONE sort key:
+    (cy + 2^14) * 2^15 + (cz + 2^14) < 2^30 — lexicographic in (cy, cz) for
+    coords in [-16384, 16383] (±1.6 km at 0.1 m resolution, ±6.5 km at the
+    LFA map resolutions; out-of-range coords clip, merging voxels far beyond
+    any lidar's reach). Every sort compare-exchange moves ALL carried
+    operands, so one packed key column instead of two is a direct cut in the
+    dominant prefilter sort's cost. Values stay below the 2^30 invalid
+    sentinel and int packing never rides float lanes (the TPU NaN
+    canonicalization trap)."""
+    off = jnp.int32(1 << 14)
+    lim = jnp.int32((1 << 15) - 1)
+    cy = jnp.clip(cy + off, 0, lim)
+    cz = jnp.clip(cz + off, 0, lim)
+    return cy * jnp.int32(1 << 15) + cz
+
+
+def _unpack_yz(kyz: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    off = jnp.int32(1 << 14)
+    w = jnp.int32(1 << 15)
+    return kyz // w - off, kyz % w - off
 
 
 def voxel_downsample(
@@ -81,26 +106,29 @@ def voxel_downsample(
     xyz = cloud.masked_xyz()
     mask = cloud.mask
 
-    # Lexicographic (x,y,z) voxel-key sort. Invalid lanes ride to the back
-    # via the saturated first key. NOTE: int32 coords must NOT ride float32
-    # lanes via bitcast — negative coords form NaN bit patterns and the TPU
-    # canonicalizes NaNs in data movement, silently merging distinct voxels.
-    # Multi-operand sort keeps every column in its own dtype.
+    # Lexicographic (x,(y,z)-packed) voxel-key sort — 6 carried operands
+    # (was 8: the packed key saves one column, and the mask column is
+    # recovered from the saturated first key instead of riding the sort).
+    # Invalid lanes ride to the back via kx = 2^30; valid voxel coords are
+    # bounded far below it, so `skx < big` IS the sorted mask. NOTE: int32
+    # coords must NOT ride float32 lanes via bitcast — negative coords form
+    # NaN bit patterns and the TPU canonicalizes NaNs in data movement,
+    # silently merging distinct voxels. Multi-operand sort keeps every
+    # column in its own dtype.
     coords = jnp.floor(xyz / res).astype(jnp.int32)
     big = jnp.int32(2**30)
     kx = jnp.where(mask, coords[:, 0], big)
-    skx, sky, skz, sx, sy, sz, sint, smaskf = jax.lax.sort(
-        (kx, coords[:, 1], coords[:, 2],
-         xyz[:, 0], xyz[:, 1], xyz[:, 2], cloud.intensity,
-         mask.astype(jnp.float32)),
-        num_keys=3,
+    kyz = _pack_yz(coords[:, 1], coords[:, 2])
+    skx, skyz, sx, sy, sz, sint = jax.lax.sort(
+        (kx, kyz, xyz[:, 0], xyz[:, 1], xyz[:, 2], cloud.intensity),
+        num_keys=2,
     )
-    smask = smaskf > 0.5
+    smask = skx < big
 
     new_seg = jnp.concatenate(
         [
             jnp.ones((1,), bool),
-            (skx[1:] != skx[:-1]) | (sky[1:] != sky[:-1]) | (skz[1:] != skz[:-1]),
+            (skx[1:] != skx[:-1]) | (skyz[1:] != skyz[:-1]),
         ]
     ) & smask
 
@@ -145,6 +173,7 @@ def voxel_downsample(
     counts = sums[:, 4]
     cnt = jnp.maximum(counts, 1.0)
     if method.upper() == "APPROX_VOXELGRID":
+        sky, skz = _unpack_yz(skyz)
         sc = jnp.stack([skx, sky, skz], axis=1)
         cell = jax.ops.segment_max(
             jnp.where(smask[:, None], sc, -big), seg_id,
@@ -185,6 +214,12 @@ def voxel_dedup_first(cloud: PointCloud, resolution: float, out_cap: int) -> Poi
     map merges over downsampled features): there dedup-first differs from
     re-centroiding by at most the voxel radius on the few cross-part
     duplicates.
+
+    Also the `downsample_method="DEDUP"` A/B for the odometry prefilter: at
+    the flagship 0.1 m resolution nearly every occupied voxel holds ONE
+    KITTI return (point spacing exceeds 10 cm beyond a few meters' range),
+    so first-point == centroid almost everywhere and the segment reduction
+    (the scatter in `voxel_downsample`) is pure overhead.
     """
     n = cloud.cap
     res = jnp.float32(resolution)
@@ -193,14 +228,15 @@ def voxel_dedup_first(cloud: PointCloud, resolution: float, out_cap: int) -> Poi
     coords = jnp.floor(xyz / res).astype(jnp.int32)
     big = jnp.int32(2**30)
     kx = jnp.where(mask, coords[:, 0], big)
-    skx, sky, skz, perm = jax.lax.sort(
-        (kx, coords[:, 1], coords[:, 2], jnp.arange(n, dtype=jnp.int32)),
-        num_keys=3,
+    kyz = _pack_yz(coords[:, 1], coords[:, 2])
+    skx, skyz, perm = jax.lax.sort(
+        (kx, kyz, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2,
     )
     new_seg = jnp.concatenate(
         [
             jnp.ones((1,), bool),
-            (skx[1:] != skx[:-1]) | (sky[1:] != sky[:-1]) | (skz[1:] != skz[:-1]),
+            (skx[1:] != skx[:-1]) | (skyz[1:] != skyz[:-1]),
         ]
     )
     winner = new_seg & (skx < big)
@@ -276,6 +312,8 @@ def prefilter(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
         out = voxel_downsample(
             out, cfg.downsample_resolution, cfg.out_cap, method, reduce=cfg.voxel_reduce
         )
+    elif method == "DEDUP":
+        out = voxel_dedup_first(out, cfg.downsample_resolution, cfg.out_cap)
     else:
         out = out.compact(cfg.out_cap)
     if cfg.outlier_removal_method.upper() == "STATISTICAL":

@@ -247,3 +247,106 @@ def test_stride_subsample_matches_gather_on_full_cloud():
     assert int(m.sum()) == n // 2 // (n // out_cap)
     kept = np.asarray(s.xyz)[m]
     np.testing.assert_allclose(kept, pts[: n // 2 : n // out_cap], atol=0)
+
+
+def test_voxel_downsample_matches_numpy_reference():
+    """Randomized pin of the packed-(y,z)-key sort: centroids, intensities,
+    and the voxel partition must match a brute-force numpy reference on
+    clouds spanning NEGATIVE coordinates (the packing offsets them)."""
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import voxel_downsample
+
+    rng = np.random.default_rng(11)
+    n, res = 4096, 0.25
+    pts = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    cloud = PointCloud.from_numpy(np.concatenate([pts, inten], 1), cap=n)
+    out = voxel_downsample(cloud, res, n)
+    m = np.asarray(out.mask)
+
+    keys = np.floor(pts / res).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    want_xyz = np.zeros((len(uniq), 3))
+    want_int = np.zeros(len(uniq))
+    for v in range(len(uniq)):
+        sel = inv == v
+        want_xyz[v] = pts[sel].mean(0)
+        want_int[v] = inten[sel, 0].mean()
+    assert int(m.sum()) == len(uniq)
+    got_xyz = np.asarray(out.xyz)[m]
+    got_int = np.asarray(out.intensity)[m]
+    # match rows by voxel key (output order is voxel-lexicographic)
+    got_keys = np.floor(got_xyz / res + 1e-4).astype(np.int64)
+    order_w = np.lexsort(want_xyz.T[::-1])
+    order_g = np.lexsort(got_xyz.T[::-1])
+    np.testing.assert_allclose(got_xyz[order_g], want_xyz[order_w], atol=2e-4)
+    np.testing.assert_allclose(got_int[order_g], want_int[order_w], atol=2e-4)
+    del got_keys
+
+
+def test_dedup_downsample_method():
+    """downsample_method=DEDUP: one INPUT point per occupied voxel,
+    front-compacted, equal to VOXELGRID's partition (and exactly equal where
+    voxels are singleton — the KITTI 0.1 m regime)."""
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.ops.prefilter import prefilter, voxel_downsample
+
+    rng = np.random.default_rng(3)
+    n, res = 2048, 0.25
+    pts = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    pts[: n // 8] = pts[0] + rng.uniform(0, 0.2, (n // 8, 3)).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts, cap=n)
+
+    pf = PrefilterConfig(
+        use_distance_filter=False, downsample_method="DEDUP",
+        downsample_resolution=res, raw_cap=n, out_cap=n,
+    )
+    out = prefilter(cloud, pf)
+    cen = voxel_downsample(cloud, res, n)
+    m = np.asarray(out.mask)
+    # same voxel partition as the centroid path
+    assert int(m.sum()) == int(np.asarray(cen.mask).sum())
+    # front-compacted (uniform_subsample downstream requires it)
+    assert not m[int(m.sum()):].any()
+    got = np.asarray(out.xyz)[m]
+    # every output point is an INPUT point (dedup, not centroid)
+    d = np.linalg.norm(got[:, None, :] - pts[None, :, :], axis=-1).min(1)
+    assert d.max() == 0.0
+    # singleton voxels: dedup == centroid exactly
+    keys = np.floor(pts / res).astype(np.int64)
+    uniq, inv, cnt = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    singleton = set(map(tuple, uniq[cnt == 1]))
+    cm = np.asarray(cen.mask)
+    cen_pts = np.asarray(cen.xyz)[cm]
+    cen_single = {tuple(k): p for k, p in
+                  zip(np.floor(cen_pts / res + 1e-4).astype(np.int64), cen_pts)
+                  if tuple(k) in singleton}
+    got_single = {tuple(k): p for k, p in
+                  zip(np.floor(got / res + 1e-4).astype(np.int64), got)
+                  if tuple(k) in singleton}
+    assert set(cen_single) == set(got_single)
+    for k in cen_single:
+        np.testing.assert_allclose(cen_single[k], got_single[k], atol=1e-5)
+
+
+def test_fused_odometry_with_dedup_downsample(small_sequence):
+    """The fused DLO chain tracks with downsample_method=DEDUP (the
+    no-segment-reduction A/B for the on-chip speed pick)."""
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.core.cloud import PointCloud
+    from lv_slam_tpu.odometry.fused import run_sequence_fused
+
+    scans, gt_poses, _ = small_sequence
+    pf = PrefilterConfig(
+        downsample_method="DEDUP", raw_cap=_CAP, out_cap=_CAP,
+    )
+    cfg = OdometryConfig(ndt=_NDT, scan_matching_cap=8192)
+    clouds = [PointCloud.from_numpy(s, cap=_CAP) for s in scans[:4]]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    stamps = jnp.arange(4, dtype=jnp.float32) * 0.1
+    est = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg, pf))
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt_poses[0]), gt_poses[:4])
+    errs = _relative_errors(gt_rel, est)
+    assert errs.max() < 0.12, errs
