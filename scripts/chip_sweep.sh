@@ -56,6 +56,8 @@ run dlo_ggo_170 2400 BENCH_MODE=dlo_ggo
 run ab_stride 1800 BENCH_MODE=full BENCH_SUBSAMPLE=stride BENCH_FLEET=0 BENCH_REPS=2
 run ab_scanreduce 1800 BENCH_MODE=full BENCH_VOXEL_REDUCE=scan BENCH_FLEET=0 BENCH_REPS=2
 run ab_dedup 1800 BENCH_MODE=full BENCH_DOWNSAMPLE=DEDUP BENCH_FLEET=0 BENCH_REPS=2
+# combined best-case candidate: no segment reduction + zero-gather subsample
+run ab_dedup_stride 1800 BENCH_MODE=full BENCH_DOWNSAMPLE=DEDUP BENCH_SUBSAMPLE=stride BENCH_FLEET=0 BENCH_REPS=2
 
 # 4. profilers (bounded; failures must not block the record)
 echo "--- profile_lfa start $(date -u +%FT%TZ)" | tee -a "$LOG"

@@ -274,6 +274,43 @@ def main():
             lambda x, m: voxel_downsample(PointCloud(x, jnp.zeros(cap), m), pf.downsample_resolution, pf.out_cap),
             c0.xyz, c0.mask,
         )
+        # A/B prefilter kernels (BENCH_VOXEL_REDUCE / BENCH_DOWNSAMPLE /
+        # BENCH_SUBSAMPLE candidates) head-to-head on identical input
+        from lv_slam_tpu.ops.prefilter import voxel_dedup_first
+
+        carry_timed(
+            "voxel_downsample scan-red",
+            lambda x, m: voxel_downsample(
+                PointCloud(x, jnp.zeros(cap), m), pf.downsample_resolution,
+                pf.out_cap, reduce="scan",
+            ),
+            c0.xyz, c0.mask,
+        )
+        carry_timed(
+            "voxel_dedup_first 131k",
+            lambda x, m: voxel_dedup_first(
+                PointCloud(x, jnp.zeros(cap), m), pf.downsample_resolution, pf.out_cap
+            ),
+            c0.xyz, c0.mask,
+        )
+        import dataclasses as _dc
+
+        pf_dedup = _dc.replace(pf, downsample_method="DEDUP")
+        carry_timed(
+            "prefilter chain DEDUP",
+            lambda x, m: _prefilter(
+                PointCloud(x, jnp.zeros(cap), m), pf_dedup, cfg.odometry.scan_matching_cap
+            ),
+            c0.xyz, c0.mask,
+        )
+        carry_timed(
+            "prefilter DEDUP+stride",
+            lambda x, m: _prefilter(
+                PointCloud(x, jnp.zeros(cap), m), pf_dedup,
+                cfg.odometry.scan_matching_cap, subsample_method="stride",
+            ),
+            c0.xyz, c0.mask,
+        )
         build, align, _, _ = _make_ops(cfg.odometry, pf)
         filt0 = jax.jit(lambda c: _prefilter(c, pf, cfg.odometry.scan_matching_cap))(c0)
         filt1 = jax.jit(lambda c: _prefilter(c, pf, cfg.odometry.scan_matching_cap))(c1)
