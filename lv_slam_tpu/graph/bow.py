@@ -151,6 +151,59 @@ class Vocabulary:
         va, vb = self.transform(desc_a), self.transform(desc_b)
         return float(1.0 - 0.5 * np.abs(va - vb).sum())
 
+    @classmethod
+    def load_dbow3(cls, path: str) -> "Vocabulary":
+        """Import a DBoW3 OpenCV-YAML vocabulary (the reference's shipped
+        real-image-trained asset, `config/vocabulary.yml.gz`; loaded by
+        `loop_detector.hpp:51-71` and converted by `config/yml2bin.cpp`).
+
+        Mapping onto the flat TPU vocabulary: each WORD (leaf node of the
+        k=10, L=5 tree) becomes one center row (its 256-bit descriptor as
+        floats) and its stored weight becomes the word's idf — DBoW3's
+        per-descriptor `vec[word] += weight` followed by L1 normalization is
+        exactly `transform`'s bincount * idf. Assignment differs only in
+        DBoW3's favor being dropped: the tree descent is a greedy
+        approximation of the nearest word; the flat matmul argmin is the
+        exact nearest word. Baseline stays 0.0 — a ~5k-word real-image vocab
+        gives near-orthogonal vectors, which is the regime the reference's
+        absolute 0.04 gate (`loop_detector.hpp:244`) was tuned for.
+
+        Accepts plain `.yml` or gzipped `.yml.gz` files.
+        """
+        import gzip
+        import re
+
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            text = f.read()
+
+        node_re = re.compile(
+            r"nodeId:(\d+),\s*parentId:\d+,\s*weight:([0-9.eE+-]+),"
+            r"\s*descriptor:dbw3 0 32 ((?:\d+\s*)+)\}",
+            re.S,
+        )
+        desc_by_node: dict = {}
+        weight_by_node: dict = {}
+        for m in node_re.finditer(text):
+            nid = int(m.group(1))
+            weight_by_node[nid] = float(m.group(2))
+            desc_by_node[nid] = np.frombuffer(
+                bytes(int(b) for b in m.group(3).split()), np.uint8
+            )
+        word_re = re.compile(r"wordId:(\d+),\s*nodeId:(\d+)")
+        words = sorted(
+            ((int(w), int(n)) for w, n in word_re.findall(text)), key=lambda t: t[0]
+        )
+        if not words:
+            raise ValueError(f"{path}: no words section — not a DBoW3 vocabulary")
+        n_words = words[-1][0] + 1
+        centers = np.zeros((n_words, 256), np.float32)
+        idf = np.zeros(n_words)
+        for wid, nid in words:
+            centers[wid] = unpack_descriptors(desc_by_node[nid][None])[0]
+            idf[wid] = weight_by_node[nid]
+        return cls(centers, idf, baseline=0.0)
+
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
         np.savez_compressed(

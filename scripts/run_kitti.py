@@ -139,10 +139,12 @@ def main():
     ap.add_argument("--optimize-every", type=int, default=100)
     ap.add_argument(
         "--vocab", default=None,
-        help="pretrained BoW vocabulary (.npz from scripts/train_vocab.py; a "
-        "shipped asset lives at lv_slam_tpu/assets/vocab_synthetic_512.npz); "
-        "without it the loop detector trains one on the sequence's own "
-        "keyframes (LoopDetectorConfig.auto_train_vocab)",
+        help="pretrained BoW vocabulary: .npz from scripts/train_vocab.py (a "
+        "shipped asset lives at lv_slam_tpu/assets/vocab_synthetic_512.npz) "
+        "or a DBoW3 OpenCV-YAML .yml/.yml.gz (the reference's real-image "
+        "config/vocabulary.yml.gz loads directly); without it the loop "
+        "detector trains one on the sequence's own keyframes "
+        "(LoopDetectorConfig.auto_train_vocab)",
     )
     ap.add_argument(
         "--fused", action="store_true",
@@ -182,7 +184,10 @@ def main():
     if args.vocab:
         from lv_slam_tpu.graph.bow import Vocabulary
 
-        vocabulary = Vocabulary.load(args.vocab)
+        if args.vocab.endswith((".yml", ".yml.gz", ".yaml", ".yaml.gz")):
+            vocabulary = Vocabulary.load_dbow3(args.vocab)
+        else:
+            vocabulary = Vocabulary.load(args.vocab)
 
     cfg = PipelineConfig(calib_tr=tuple(tr[:3, :4].reshape(-1)))
 

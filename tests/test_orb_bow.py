@@ -254,3 +254,87 @@ def test_bow_ranking_under_degradation_and_vocab_sweep():
     # where the gate stops binding: documented calibration boundary — at 1k+
     # words the median impostor crosses the gate on this corpus
     assert false_med_b > false_med, stats
+
+
+def _dbow3_yml(nodes, words):
+    """Render a minimal DBoW3 OpenCV-YAML vocabulary string."""
+    lines = ["%YAML:1.0", "---", "vocabulary:", "   k: 2", "   L: 1",
+             "   scoringType: 0", "   weightingType: 0", "   nodes:"]
+    for nid, parent, weight, desc in nodes:
+        dstr = " ".join(str(int(b)) for b in desc)
+        lines.append(
+            f"      - {{ nodeId:{nid}, parentId:{parent}, weight:{weight},\n"
+            f"          descriptor:dbw3 0 32 {dstr}  }}"
+        )
+    lines.append("   words:")
+    for wid, nid in words:
+        lines.append(f"      - {{ wordId:{wid}, nodeId:{nid} }}")
+    return "\n".join(lines) + "\n"
+
+
+def test_load_dbow3_synthetic(tmp_path):
+    """DBoW3 YAML import: leaf descriptors become centers, leaf weights
+    become idf, and scoring reproduces DBoW3's weighted-L1 by hand."""
+    import gzip
+
+    from lv_slam_tpu.graph.bow import Vocabulary
+    from lv_slam_tpu.ops.orb import unpack_descriptors
+
+    rng = np.random.default_rng(7)
+    descs = rng.integers(0, 256, (4, 32), dtype=np.uint8)
+    nodes = [
+        (1, 0, "0.", descs[0]),          # inner node (not a word)
+        (2, 1, "2.5", descs[0]),
+        (3, 1, "0.5", descs[1]),
+        (4, 1, "1.0", descs[2]),
+        (5, 1, "0.", descs[3]),          # zero-weight word (stop word)
+    ]
+    words = [(0, 2), (1, 3), (2, 4), (3, 5)]
+    path = str(tmp_path / "vocab.yml.gz")
+    with gzip.open(path, "wt") as f:
+        f.write(_dbow3_yml(nodes, words))
+
+    vocab = Vocabulary.load_dbow3(path)
+    assert vocab.n_words == 4
+    assert vocab.baseline == 0.0
+    np.testing.assert_allclose(vocab.idf, [2.5, 0.5, 1.0, 0.0])
+    np.testing.assert_array_equal(
+        np.asarray(vocab.centers), unpack_descriptors(descs).astype(np.float32)
+    )
+    # a query of two word-0 hits and one word-1 hit: tf-idf then L1 norm
+    q = np.stack([descs[0], descs[0], descs[1]])
+    vec = vocab.transform(q)
+    want = np.array([2 * 2.5, 1 * 0.5, 0.0, 0.0])
+    np.testing.assert_allclose(vec, want / want.sum(), atol=1e-12)
+    # identical sets score 1.0; disjoint word usage scores 0.0
+    assert abs(vocab.score(q, q) - 1.0) < 1e-9
+    assert abs(vocab.score(np.stack([descs[0]]), np.stack([descs[2]]))) < 1e-9
+
+
+def test_load_dbow3_reference_asset():
+    """Integration: the reference's shipped real-image vocabulary
+    (`/root/reference/config/vocabulary.yml.gz`, loaded by the reference at
+    `loop_detector.hpp:51-71`) imports directly — a user switching from the
+    reference brings their vocabulary with them."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/config/vocabulary.yml.gz"
+    if not os.path.exists(path):
+        pytest.skip("reference vocabulary asset not present")
+    from lv_slam_tpu.graph.bow import Vocabulary
+
+    vocab = Vocabulary.load_dbow3(path)
+    # k=10, L=5 tree: ~5k words, all centers are valid bit vectors
+    assert 4000 <= vocab.n_words <= 11000
+    c = np.asarray(vocab.centers)
+    assert set(np.unique(c)) <= {0.0, 1.0}
+    assert (vocab.idf >= 0).all() and vocab.idf.max() > 1.0
+    # distinct random descriptor sets score near-orthogonally (the regime of
+    # the reference's absolute 0.04 gate)
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    b = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    assert vocab.score(a, a) > 0.999
+    assert vocab.score(a, b) < 0.6
