@@ -215,8 +215,19 @@ def main():
             """Flagship loop/graph config; graph capacities sized to the
             workload — static shapes are a config property on TPU."""
             from lv_slam_tpu.config import GraphConfig, LoopDetectorConfig
+            from lv_slam_tpu.graph.bow import Vocabulary
             from lv_slam_tpu.pipeline.backend import GlobalGraph
 
+            # Load the SHIPPED pretrained vocabulary ONCE, exactly like the
+            # reference loads its DBoW3 asset at startup
+            # (loop_detector.hpp:51-71) — auto-training k-means inside the
+            # timed chain cost ~2.3 s in the round-4 on-chip profile.
+            vocab = Vocabulary.load(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "lv_slam_tpu", "assets", "vocab_synthetic_512.npz",
+                )
+            )
             backend = GlobalGraph(
                 GraphConfig(
                     keyframe_cap=64, edge_cap=256, prior_cap=16,
@@ -224,6 +235,7 @@ def main():
                 ),
                 LoopDetectorConfig(),
                 prefilter_cfg=cfg.prefilter,
+                vocabulary=vocab,
             )
             detect = backend.loop_detector.detect
 

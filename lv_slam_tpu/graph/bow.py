@@ -1,13 +1,22 @@
-"""Bag-of-binary-words vocabulary: TPU k-means + tf-idf L1 scoring.
+"""Bag-of-binary-words vocabulary: flat k-means + tf-idf L1 scoring, ALL HOST.
 
 DBoW3 (the reference's visual loop index, `loop_detector.hpp:51-71` loads
 `config/vocab_larger.bin`) is a hierarchical k-means tree over ORB
-descriptors with tf-idf-weighted L1 scoring. On TPU the hierarchy buys
-nothing — one dense descriptor-to-word distance matmul (K x W x 256) beats
-tree descent — so the vocabulary is flat k-means over descriptor bits, with
-DBoW3's scoring kept verbatim: normalized tf-idf vectors compared as
-`s = 1 - 0.5 * |v1/|v1| - v2/|v2||_1` (their L1_NORM score, same [0,1] scale
-and the same 0.04 accept gate).
+descriptors with tf-idf-weighted L1 scoring, computed on CPU. Here the
+hierarchy buys nothing — one dense descriptor-to-word distance matmul
+(K x W x 256) beats tree descent — so the vocabulary is flat k-means over
+descriptor bits, with DBoW3's scoring kept verbatim: normalized tf-idf
+vectors compared as `s = 1 - 0.5 * |v1/|v1| - v2/|v2||_1` (their L1_NORM
+score, same [0,1] scale and the same 0.04 accept gate).
+
+Everything in this module runs on HOST numpy, deliberately: BoW vectors are
+loop-gating metadata consumed by host control flow, the matmuls are tiny
+(<= ~10k x W x 256, single-digit ms under BLAS), and routing them through
+the TPU costs a device round trip per keyframe (~30-500 ms through the
+relay — measured as the dominant loop-detection cost in round 4). The TPU
+does what it is good at in this pipeline: ORB descriptor EXTRACTION
+(batched image pyramids, `ops/orb.py`) and loop VERIFICATION (batched NDT
+ladder, `graph/loop_detector.py`).
 
 Train on any descriptor corpus with `Vocabulary.train` (the reference ships a
 prebuilt 323 KB vocabulary; we build ours from the mapped sequence itself or
@@ -16,62 +25,45 @@ any calibration set).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from lv_slam_tpu.ops.orb import unpack_descriptors
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _kmeans(bits: jax.Array, init_centers: jax.Array, iters: int):
-    """Lloyd iterations on {0,1}^256 descriptors with float centroids."""
-    x = bits.astype(jnp.float32)
+def _kmeans(bits: np.ndarray, init_centers: np.ndarray, iters: int) -> np.ndarray:
+    """Lloyd iterations on {0,1}^256 descriptors with float centroids.
 
-    def step(_, centers):
-        d = (
-            jnp.sum(x * x, 1, keepdims=True)
-            - 2.0 * x @ centers.T
-            + jnp.sum(centers * centers, 1)[None, :]
-        )
-        assign = jnp.argmin(d, axis=1)
-        one_hot = jax.nn.one_hot(assign, centers.shape[0], dtype=jnp.float32)
-        counts = jnp.maximum(one_hot.sum(0), 1.0)
-        new_centers = (one_hot.T @ x) / counts[:, None]
-        # keep empty clusters where they were
-        return jnp.where((one_hot.sum(0) > 0)[:, None], new_centers, centers)
-
-    return jax.lax.fori_loop(0, iters, step, init_centers)
-
-
-@jax.jit
-def _assign(bits: jax.Array, centers: jax.Array) -> jax.Array:
-    x = bits.astype(jnp.float32)
-    d = (
-        jnp.sum(x * x, 1, keepdims=True)
-        - 2.0 * x @ centers.T
-        + jnp.sum(centers * centers, 1)[None, :]
-    )
-    return jnp.argmin(d, axis=1)
+    Host numpy ON PURPOSE: the whole BoW stack is host-side loop-gating
+    metadata (see `_assign_host`), the corpus is small (~10k x 256), and
+    dispatching training through the TPU relay put ~2.3 s of vocabulary
+    k-means INSIDE the timed SLAM chain (round-4 on-chip profile)."""
+    x = bits.astype(np.float32)
+    centers = init_centers.astype(np.float32).copy()
+    n_words = centers.shape[0]
+    for _ in range(iters):
+        c_sq = np.sum(centers * centers, axis=1)
+        assign = np.argmin(c_sq[None, :] - 2.0 * (x @ centers.T), axis=1)
+        counts = np.bincount(assign, minlength=n_words).astype(np.float32)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centers
 
 
-_PAD = 512
-
-
-def _assign_padded(bits: np.ndarray, centers: jax.Array) -> np.ndarray:
-    """Word assignment through a FIXED (pow2-padded) shape: descriptor counts
-    vary per keyframe, and letting each distinct count trace its own `_assign`
-    executable costs a compile per keyframe."""
-    k = bits.shape[0]
-    pad = _PAD
-    while pad < k:
-        pad *= 2
-    buf = np.zeros((pad, bits.shape[1]), bits.dtype)
-    buf[:k] = bits
-    return np.asarray(_assign(jnp.asarray(buf), centers))[:k]
+def _assign_host(bits: np.ndarray, centers: np.ndarray, c_sq: np.ndarray) -> np.ndarray:
+    """Nearest-word assignment on HOST numpy. BoW vectors are host-side
+    loop-gating metadata (the reference computes them on CPU via DBoW3,
+    `loop_detector.hpp:231-240`); the matmul is at most ~10k x W x 256 —
+    single-digit milliseconds under BLAS — while routing it through the TPU
+    relay costs a 30-500 ms fetch PER KEYFRAME (measured round 4: loop
+    detection at 31-36 ms/scan, dominated by these round trips). The |x|^2
+    row term is constant per descriptor and dropped (argmin-invariant)."""
+    x = bits.astype(np.float32)
+    d = c_sq[None, :] - 2.0 * (x @ centers.T)
+    return np.argmin(d, axis=1)
 
 
 class Vocabulary:
@@ -81,7 +73,8 @@ class Vocabulary:
         idf: Optional[np.ndarray] = None,
         baseline: float = 0.0,
     ):
-        self.centers = jnp.asarray(centers, jnp.float32)  # (W,256)
+        self.centers = np.asarray(centers, np.float32)  # (W,256), host-resident
+        self._c_sq = np.sum(self.centers * self.centers, axis=1)
         self.idf = np.ones(centers.shape[0]) if idf is None else np.asarray(idf)
         # expected L1 score of two UNRELATED images under this vocabulary.
         # DBoW3's ~100k-word vectors are near-orthogonal (baseline ~ 0), so
@@ -114,12 +107,12 @@ class Vocabulary:
         rng = np.random.default_rng(seed)
         n_words = min(n_words, bits.shape[0])
         init = bits[rng.choice(bits.shape[0], n_words, replace=False)].astype(np.float32)
-        centers = np.asarray(_kmeans(jnp.asarray(bits), jnp.asarray(init), iters))
+        centers = _kmeans(bits, init, iters)
         vocab = cls(centers)
         # idf from the training image frequency (DBoW3 TF_IDF weighting)
         df = np.zeros(n_words)
         for d in descriptor_sets:
-            words = np.unique(_assign_padded(_as_bits(d), vocab.centers))
+            words = np.unique(_assign_host(_as_bits(d), vocab.centers, vocab._c_sq))
             df[words] += 1
         vocab.idf = np.log(len(descriptor_sets) / np.maximum(df, 1.0)) + 1e-3
         # impostor baseline: mean pairwise score of distinct training images
@@ -141,7 +134,7 @@ class Vocabulary:
         bits = _as_bits(descriptors)
         if bits.shape[0] == 0:
             return np.zeros(self.n_words)
-        words = _assign_padded(bits, self.centers)
+        words = _assign_host(bits, self.centers, self._c_sq)
         vec = np.bincount(words, minlength=self.n_words).astype(np.float64) * self.idf
         norm = np.abs(vec).sum()
         return vec / norm if norm > 0 else vec

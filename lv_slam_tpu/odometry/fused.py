@@ -47,8 +47,21 @@ class FusedState(NamedTuple):
     scan_idx: jax.Array        # () int32
 
 
-def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
-    """The `/filtered_points` product: distance band + voxel centroid."""
+def _prefilter_mid(
+    cloud: PointCloud, cfg: PrefilterConfig, stride_consumer: bool = False
+) -> PointCloud:
+    """The `/filtered_points` product: distance band + voxel centroid.
+
+    `stride_consumer=True` (the caller subsamples with `stride_subsample`,
+    which needs no front-compaction) skips the NONE branch's compact when
+    the capacity already fits: at the flagship 0.1 m resolution nearly every
+    voxel holds ONE KITTI return, so VOXELGRID/DEDUP are near-pass-throughs
+    and NONE+stride is the zero-sort prefilter — an elementwise distance
+    mask and a strided slice are its only ops (every other method pays at
+    least one 131k-lane multi-operand sort per scan). Downstream consumers
+    are mask-aware: the NDT map build sorts masked lanes itself and the
+    keyframe window program (`jit_cache.window_group_filtered_fn`) dedups
+    masked unions."""
     out = cloud
     if cfg.use_distance_filter:
         out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
@@ -59,6 +72,8 @@ def _prefilter_mid(cloud: PointCloud, cfg: PrefilterConfig) -> PointCloud:
         )
     elif cfg.downsample_method.upper() == "DEDUP":
         out = voxel_dedup_first(out, cfg.downsample_resolution, cfg.out_cap)
+    elif stride_consumer and cfg.out_cap >= out.cap:
+        pass  # holes tolerated: stride_subsample slices lanes, mask and all
     else:
         # distance_filter only clears mask bits; uniform_subsample downstream
         # requires a front-compacted cloud (matches ops/prefilter.prefilter)
@@ -72,7 +87,7 @@ def _prefilter(
     scan_matching_cap: int = 0,
     subsample_method: str = "gather",
 ) -> PointCloud:
-    out = _prefilter_mid(cloud, cfg)
+    out = _prefilter_mid(cloud, cfg, stride_consumer=subsample_method == "stride")
     if scan_matching_cap and scan_matching_cap < out.cap:
         # bounded-lane scan matching (OdometryConfig.scan_matching_cap)
         if subsample_method == "stride":
@@ -197,7 +212,10 @@ def make_fused_step(
 
     def step(state: FusedState, cloud: PointCloud, stamp) -> Tuple[FusedState, jax.Array]:
         if prefilter_cfg is not None:
-            mid = _prefilter_mid(cloud, prefilter_cfg)
+            mid = _prefilter_mid(
+                cloud, prefilter_cfg,
+                stride_consumer=cfg.subsample_method == "stride",
+            )
             if cfg.scan_matching_cap and cfg.scan_matching_cap < mid.cap:
                 sub = stride_subsample if cfg.subsample_method == "stride" else uniform_subsample
                 filtered = sub(mid, cfg.scan_matching_cap)
@@ -374,7 +392,10 @@ def _jitted_scan_cache(
         )
         if emit_filtered:
             # scan 0 has no step output; prepend its /filtered_points product
-            mid0 = _prefilter_mid(cloud0, prefilter_cfg)
+            mid0 = _prefilter_mid(
+                cloud0, prefilter_cfg,
+                stride_consumer=cfg.subsample_method == "stride",
+            )
             fx, fi, fm = outs[3]
             outs = outs[:3] + ((
                 jnp.concatenate([mid0.xyz.T[None], fx], axis=0),

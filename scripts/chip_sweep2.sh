@@ -40,8 +40,45 @@ run dlo_ggo_170_hostbow 2400 BENCH_MODE=dlo_ggo
 # validated at full density on CPU, see BENCH_r04_cpu_accuracy*.json)
 run ab_dedup 1800 BENCH_MODE=full BENCH_DOWNSAMPLE=DEDUP BENCH_FLEET=0 BENCH_REPS=2
 run ab_dedup_stride 1800 BENCH_MODE=full BENCH_DOWNSAMPLE=DEDUP BENCH_SUBSAMPLE=stride BENCH_FLEET=0 BENCH_REPS=2
+# zero-sort prefilter: NONE+stride skips compaction entirely (elementwise
+# distance mask + strided slice are the only prefilter ops)
+run ab_none_stride 1800 BENCH_MODE=full BENCH_DOWNSAMPLE=NONE BENCH_SUBSAMPLE=stride BENCH_FLEET=0 BENCH_REPS=2
 run ab_stride 1800 BENCH_MODE=full BENCH_SUBSAMPLE=stride BENCH_FLEET=0 BENCH_REPS=2
 run ab_scanreduce 1800 BENCH_MODE=full BENCH_VOXEL_REDUCE=scan BENCH_FLEET=0 BENCH_REPS=2
+
+# final headline: whichever A/B won (ties -> baseline full), with the fleet
+# extras and full reps — this is the number the round is judged on
+best=$(python - <<'EOF'
+import json, os
+runs = {
+    "ab_dedup": "BENCH_DOWNSAMPLE=DEDUP",
+    "ab_dedup_stride": "BENCH_DOWNSAMPLE=DEDUP BENCH_SUBSAMPLE=stride",
+    "ab_none_stride": "BENCH_DOWNSAMPLE=NONE BENCH_SUBSAMPLE=stride",
+    "ab_stride": "BENCH_SUBSAMPLE=stride",
+    "ab_scanreduce": "BENCH_VOXEL_REDUCE=scan",
+}
+base = None
+try:
+    base = json.load(open("bench_runs/r04/full_170_hostbow.json"))["value"]
+except Exception:
+    pass
+best_env, best_v = "", base or 0
+for name, env in runs.items():
+    try:
+        rec = json.load(open(f"bench_runs/r04/{name}.json"))
+        ok = rec.get("extra", {}).get("tracking_ok") in (True, None)
+        if rec.get("value") and ok and rec["value"] > best_v * 1.02:
+            best_v, best_env = rec["value"], env
+    except Exception:
+        continue
+print(best_env)
+EOF
+)
+if [ -n "$best" ]; then
+  echo "--- A/B winner env: $best" | tee -a "$LOG"
+  run final_headline 2400 BENCH_MODE=full $best
+  run final_dlo_ggo 2400 BENCH_MODE=dlo_ggo $best
+fi
 
 echo "--- profile_lfa start $(date -u +%FT%TZ)" | tee -a "$LOG"
 timeout 1800 python scripts/profile_stages.py --lfa \

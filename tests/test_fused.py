@@ -119,3 +119,36 @@ def test_return_filtered_matches_standalone_prefilter(small_sequence):
         np.testing.assert_allclose(
             np.asarray(finten[i]), np.asarray(want.intensity), atol=1e-5
         )
+
+
+def test_none_stride_zero_sort_prefilter(small_sequence):
+    """downsample NONE + stride subsample (the zero-sort prefilter: at the
+    flagship 0.1 m resolution nearly every voxel holds one return, so the
+    voxel pass is a near-pass-through and the distance mask + strided slice
+    suffice). The prefiltered scan-matching input must be EXACTLY every k-th
+    lane of the distance-banded raw cloud (mask holes preserved, no
+    compaction), and the sequence must still track."""
+    from lv_slam_tpu.odometry.fused import _prefilter
+    from lv_slam_tpu.ops.prefilter import distance_filter
+
+    scans, gt, _ = small_sequence
+    cap = 32768
+    sm_cap = cap // 2
+    pf = PrefilterConfig(raw_cap=cap, out_cap=cap, downsample_method="NONE")
+    cloud = PointCloud.from_numpy(scans[0], cap=cap)
+
+    out = _prefilter(cloud, pf, sm_cap, subsample_method="stride")
+    ref = distance_filter(cloud, pf.distance_near_thresh, pf.distance_far_thresh)
+    np.testing.assert_array_equal(np.asarray(out.xyz), np.asarray(ref.xyz)[::2])
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask)[::2])
+
+    cfg = OdometryConfig(
+        ndt=NDTConfig(leaf_cap=16384, lut_extent=256),
+        scan_matching_cap=sm_cap, subsample_method="stride",
+    )
+    stamps = jnp.arange(len(scans), dtype=jnp.float32) * 0.1
+    xyz, mask = _stack(scans, cap)
+    poses = np.asarray(run_sequence_fused(xyz, mask, stamps, cfg, pf))
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    final_err = np.linalg.norm(poses[-1][:3, 3] - gt_rel[-1][:3, 3])
+    assert final_err < 0.25, final_err

@@ -338,3 +338,56 @@ def test_load_dbow3_reference_asset():
     b = rng.integers(0, 256, (64, 32), dtype=np.uint8)
     assert vocab.score(a, a) > 0.999
     assert vocab.score(a, b) < 0.6
+
+
+def test_shipped_asset_generalizes_to_unseen_world():
+    """The SHIPPED pretrained vocabulary (trained on world seed=3 by
+    scripts/train_vocab.py, loaded once by bench.py exactly like the
+    reference loads its DBoW3 asset at startup, `loop_detector.hpp:51-71`)
+    must rank revisits first and keep the 0.04 gate binding on a world it
+    has NEVER seen — the property that justifies benchmarking with a fixed
+    asset instead of auto-training inside the timed chain."""
+    import os
+
+    from lv_slam_tpu.graph.bow import Vocabulary
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "lv_slam_tpu", "assets", "vocab_synthetic_512.npz",
+    )
+    vocab = Vocabulary.load(path)
+
+    world = synthetic.make_world(seed=77, n_buildings=90, n_poles=120)
+    orb = OrbExtractor(max_features=256)
+    spots = [(0, 0, 0.0), (38, 22, 1.1), (-30, 25, 2.4),
+             (20, -42, -0.7), (-40, -28, 0.5), (55, 8, 2.9)]
+    descs = []
+    for (x, y, yaw) in spots:
+        for dx, dyaw in ((0.0, 0.0), (0.7, 0.05)):
+            c, s = np.cos(yaw + dyaw), np.sin(yaw + dyaw)
+            pose = np.eye(4)
+            pose[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+            pose[:3, 3] = [x + dx, y, 1.6]
+            d, _ = orb.detect_and_compute(
+                synthetic.render_camera_image(world, pose, seed=77)
+            )
+            descs.append(d)
+
+    vecs = [vocab.transform(d) for d in descs]
+    n = len(descs)
+    scores = np.array(
+        [[vocab.adjust(1.0 - 0.5 * np.abs(vecs[i] - vecs[j]).sum()) for j in range(n)]
+         for i in range(n)]
+    )
+    hits = 0
+    true_scores, false_scores = [], []
+    for i in range(n):
+        partner = i + 1 if i % 2 == 0 else i - 1
+        others = [j for j in range(n) if j != i]
+        ranked = sorted(others, key=lambda j: -scores[i, j])
+        hits += ranked[0] == partner
+        true_scores.append(scores[i, partner])
+        false_scores.extend(scores[i, j] for j in others if j != partner)
+    assert hits >= n - 1, f"top-1 recall {hits}/{n} with the shipped asset"
+    assert min(true_scores) >= 0.04, min(true_scores)
+    assert np.median(false_scores) < 0.04, np.median(false_scores)
