@@ -220,8 +220,13 @@ def render_camera_image(
     z = local[:, 0]
     vis = z > 0.5
     f = (width / 2.0) / np.tan(np.deg2rad(fov_deg) / 2.0)
-    u = (-local[:, 1] / z * f + width / 2.0).astype(np.int32)
-    v = (-local[:, 2] / z * f + height / 2.0).astype(np.int32)
+    # project through a safe denominator: points at/behind the camera plane
+    # (z <= 0.5, masked out below) would otherwise produce inf/NaN whose
+    # int32 cast is undefined (RuntimeWarning per render; wrong-but-plausible
+    # casts are this repo's signature bug class)
+    zs = np.where(vis, z, 1.0)
+    u = (-local[:, 1] / zs * f + width / 2.0).astype(np.int32)
+    v = (-local[:, 2] / zs * f + height / 2.0).astype(np.int32)
     vis &= (u >= 0) & (u < width) & (v >= 0) & (v < height)
     img = np.full((height, width), 30.0, np.float32)
     depth = np.full((height, width), np.inf, np.float32)

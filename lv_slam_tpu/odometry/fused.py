@@ -61,7 +61,10 @@ def _prefilter_mid(
     least one 131k-lane multi-operand sort per scan). Downstream consumers
     are mask-aware: the NDT map build sorts masked lanes itself and the
     keyframe window program (`jit_cache.window_group_filtered_fn`) dedups
-    masked unions."""
+    masked unions. NOTE the NONE+stride `/filtered_points` product keeps the
+    RAW cap (holes, never voxel-downsampled): window unions then dedup at
+    raw density, so `keyframe_cloud_cap` needs headroom (the dedup compact
+    truncates voxel-key-sorted, i.e. spatially biased, on overflow)."""
     out = cloud
     if cfg.use_distance_filter:
         out = distance_filter(out, cfg.distance_near_thresh, cfg.distance_far_thresh)
@@ -81,13 +84,30 @@ def _prefilter_mid(
     return out
 
 
+def _stride_active(subsample_method: str, scan_matching_cap: int, cloud_cap: int) -> bool:
+    """True only when the stride subsample will actually be applied to the
+    (possibly skip-compacted) product: with the compact skipped the mid cloud
+    keeps `cloud_cap`, so the same cap bounds both decisions. Guards the
+    NONE+stride compact-skip from firing when `scan_matching_cap` is 0 or
+    >= cap — the NDT map would silently build from a never-downsampled
+    cloud (advisor r4)."""
+    return (
+        subsample_method == "stride"
+        and scan_matching_cap > 0
+        and scan_matching_cap < cloud_cap
+    )
+
+
 def _prefilter(
     cloud: PointCloud,
     cfg: PrefilterConfig,
     scan_matching_cap: int = 0,
     subsample_method: str = "gather",
 ) -> PointCloud:
-    out = _prefilter_mid(cloud, cfg, stride_consumer=subsample_method == "stride")
+    out = _prefilter_mid(
+        cloud, cfg,
+        stride_consumer=_stride_active(subsample_method, scan_matching_cap, cloud.cap),
+    )
     if scan_matching_cap and scan_matching_cap < out.cap:
         # bounded-lane scan matching (OdometryConfig.scan_matching_cap)
         if subsample_method == "stride":
@@ -214,7 +234,9 @@ def make_fused_step(
         if prefilter_cfg is not None:
             mid = _prefilter_mid(
                 cloud, prefilter_cfg,
-                stride_consumer=cfg.subsample_method == "stride",
+                stride_consumer=_stride_active(
+                    cfg.subsample_method, cfg.scan_matching_cap, cloud.cap
+                ),
             )
             if cfg.scan_matching_cap and cfg.scan_matching_cap < mid.cap:
                 sub = stride_subsample if cfg.subsample_method == "stride" else uniform_subsample
@@ -394,7 +416,9 @@ def _jitted_scan_cache(
             # scan 0 has no step output; prepend its /filtered_points product
             mid0 = _prefilter_mid(
                 cloud0, prefilter_cfg,
-                stride_consumer=cfg.subsample_method == "stride",
+                stride_consumer=_stride_active(
+                    cfg.subsample_method, cfg.scan_matching_cap, cloud0.cap
+                ),
             )
             fx, fi, fm = outs[3]
             outs = outs[:3] + ((

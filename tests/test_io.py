@@ -85,3 +85,21 @@ def test_angle_calibration_rotates_up(rng):
     np.testing.assert_allclose(
         np.rad2deg(elev_after - elev_before), [0.11, 0.11], atol=1e-3
     )
+
+
+def test_render_camera_image_no_invalid_cast():
+    """Points at/behind the camera plane must not flow NaN/inf into the
+    int32 pixel cast (regression: io/synthetic.py emitted a RuntimeWarning
+    per render; an undefined cast is a wrong-but-plausible-pixel hazard)."""
+    import warnings
+
+    from lv_slam_tpu.io import synthetic
+
+    world = synthetic.make_world(seed=5)
+    pose = np.eye(4)
+    pose[:3, 3] = [0.0, 0.0, 1.0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        img = synthetic.render_camera_image(world, pose, seed=5)
+    assert img.dtype == np.uint8 and img.shape == (128, 256)
+    assert img.max() > img.min()  # something visible rendered
