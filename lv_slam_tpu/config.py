@@ -113,8 +113,9 @@ class OdometryConfig:
     # (unbiased, pays one cap-sized gather). "stride": a pure strided SLICE
     # keeping every (cap/scan_matching_cap)-th lane — zero gathers, but keeps
     # only count/stride points when the cloud underfills its capacity.
-    # A/B these on-chip; the align itself is insensitive down to ~30k samples.
-    subsample_method: str = "gather"
+    # Round-4 on-chip A/B at the full 170-scan workload: stride 21.0 scans/s
+    # vs gather 18.58, accuracy equal (devkit 0.00049 both) — stride ships.
+    subsample_method: str = "stride"
     ndt: NDTConfig = dataclasses.field(default_factory=NDTConfig)
 
 
@@ -194,6 +195,18 @@ class LoopDetectorConfig:
     # under a meter; drifted loop guesses routinely exceed that. Each coarser
     # stage widens the basin proportionally (improvement over reference).
     multiscale: Tuple[float, ...] = (4.0, 2.0)
+    # Newton-iteration caps per ladder rung. The epsilon test ends the
+    # while_loop early on convergence, so these caps only bind on
+    # non-converging lanes; under vmap the batch runs to the WORST lane.
+    multiscale_max_iterations: int = 64
+    verify_max_iterations: int = 64
+    # Source-cloud point budget for the COARSE rungs only: the NDT
+    # derivative pass is gather-bound (cost ~ linear in point count), and
+    # pulling a drifted guess into the next rung's basin doesn't need the
+    # full 131k-point keyframe cloud — lanes are stride-sliced down to at
+    # most this many. The final rung (and the fitness pass) always runs at
+    # full density — the loop edge's accuracy comes from there. 0 disables.
+    verify_coarse_points: int = 32768
     # Reject verified loops whose pose deviates from the graph-estimate guess
     # by more than this (m / rad): in self-similar scenes a wrong alignment
     # can score as well as the true one, but genuine loop corrections are

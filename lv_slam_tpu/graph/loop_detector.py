@@ -20,7 +20,14 @@ Rebuild of `LoopDetector` (`include/global_graph/loop_detector.hpp:42-298`):
 
 Deviation from the reference: candidates that pass the visual gate are
 verified *in parallel* (vmapped / device-batched) instead of sequentially
-with early exit — same accept rule on strictly more candidates.
+with early exit — same accept rule on strictly more candidates. The
+verification is also ASYNCHRONOUS, mirroring the reference's backend
+thread (`global_graph_nodelet.cpp:670-764`) which never blocks odometry:
+`dispatch_verifications` launches ONE fused device program per new
+keyframe (all ladder map builds + aligns + the fitness pass, a single
+dispatch, no fetch) and `harvest` collects the verdicts later — typically
+at the NEXT optimize cycle, after the device work has overlapped the
+pipeline's odometry dispatches.
 """
 
 from __future__ import annotations
@@ -46,37 +53,60 @@ class Loop:
     visual_score: float
 
 
+@dataclasses.dataclass
+class PendingVerification:
+    """An in-flight device verification: host metadata + the un-fetched
+    (k, 17) result array (row = flattened 4x4 transform | fitness)."""
+
+    new_kf: KeyFrame
+    candidates: List[KeyFrame]
+    scores: List[float]
+    guesses: np.ndarray            # (k, 4, 4) float64 dispatch-time guesses
+    packed: jax.Array              # (k_pad, 17) device array, not yet fetched
+
+
 @functools.lru_cache(maxsize=16)
-def _batched_align_fn(resolution: float, neighborhood: str):
+def _fused_verify_fn(resolutions, iter_schedule, neighborhood,
+                     leaf_cap, lut_extent, fitness_resolution,
+                     coarse_stride):
+    """ONE jitted program for the whole verification of one new keyframe
+    against a candidate batch: builds the coarse-to-fine NDT maps from the
+    new keyframe's cloud, runs every ladder rung (vmapped over candidates)
+    and the fitness pass, and returns a single packed (k, 17) array so the
+    caller pays exactly one dispatch now and one fetch later (each costs
+    30-500 ms through the remote-TPU relay — the round-4 measured wall)."""
     from lv_slam_tpu.core.cloud import PointCloud as PC
     from lv_slam_tpu.ops.ndt_hash import ndt_align_hash_table, to_hash
-
-    def run(target_map, xyz, inten, mask, guesses):
-        # hash path: one gather per DIRECT7 offset (2.4x the LUT pass);
-        # the conversion is shared across the whole candidate batch
-        hmap = to_hash(target_map)
-
-        def one(x, it, m, g):
-            return ndt_align_hash_table(
-                hmap, PC(x, it, m), g,
-                resolution=resolution, transformation_epsilon=0.01,
-                max_iterations=64, neighborhood=neighborhood, weighted=False,
-            ).transform
-
-        return jax.vmap(one)(xyz, inten, mask, guesses)
-
-    return jax.jit(run)
-
-
-@functools.lru_cache(maxsize=1)
-def _batched_fitness_fn():
-    from lv_slam_tpu.core.cloud import PointCloud as PC
     from lv_slam_tpu.ops.nn import build_centroid_grid, nn_sq_dists
+    from lv_slam_tpu.ops.voxel_map import build_voxel_map
 
-    def run(target, xyz, inten, mask, transforms):
-        grid = build_centroid_grid(target, 0.25)
+    def run(new_xyz, new_inten, new_mask, cand_xyz, cand_inten, cand_mask, guesses):
+        new_cloud = PC(new_xyz, new_inten, new_mask)
+        transforms = guesses
+        n_rungs = len(resolutions)
+        for ri, (r, iters) in enumerate(zip(resolutions, iter_schedule)):
+            hmap = to_hash(build_voxel_map(
+                new_cloud, resolution=r, leaf_cap=leaf_cap,
+                lut_extent=lut_extent,
+            ))
+            # coarse rungs align a strided slice of the candidate cloud
+            # (gather-bound pass, cost ~ point count); final rung is full
+            s = coarse_stride if ri < n_rungs - 1 else 1
+            cx, ci, cm = cand_xyz[:, ::s], cand_inten[:, ::s], cand_mask[:, ::s]
 
-        def one(x, it, m, t):
+            def one(x, it, m, g, _r=r, _i=iters, _h=hmap):
+                return ndt_align_hash_table(
+                    _h, PC(x, it, m), g,
+                    resolution=_r, transformation_epsilon=0.01,
+                    max_iterations=_i, neighborhood=neighborhood,
+                    weighted=False,
+                ).transform
+
+            transforms = jax.vmap(one)(cx, ci, cm, transforms)
+
+        grid = build_centroid_grid(new_cloud, fitness_resolution)
+
+        def fit_one(x, it, m, t):
             moved = PC(x, it, m).transformed(t)
             d2 = nn_sq_dists(grid, moved.masked_xyz(), moved.mask)
             ok = jnp.isfinite(d2)
@@ -84,7 +114,9 @@ def _batched_fitness_fn():
             total = jnp.sum(jnp.where(ok, d2, 0.0))
             return jnp.where(n > 0, total / jnp.maximum(n, 1.0), jnp.inf)
 
-        return jax.vmap(one)(xyz, inten, mask, transforms)
+        fits = jax.vmap(fit_one)(cand_xyz, cand_inten, cand_mask, transforms)
+        k = transforms.shape[0]
+        return jnp.concatenate([transforms.reshape(k, 16), fits[:, None]], axis=1)
 
     return jax.jit(run)
 
@@ -98,13 +130,13 @@ class LoopDetector:
         self._indexed: set = set()
         self.last_edge_accum_distance = 0.0
         c = self.cfg
-        from lv_slam_tpu.utils.jit_cache import build_map_fn
-
         # coarse-to-fine ladder: e.g. (4.0, 2.0, 1.0); see LoopDetectorConfig
         self._resolutions = tuple(c.multiscale) + (c.ndt_resolution,)
-        self._builds = {
-            r: build_map_fn(r, leaf_cap, lut_extent) for r in self._resolutions
-        }
+        self._iter_schedule = (c.multiscale_max_iterations,) * len(c.multiscale) + (
+            c.verify_max_iterations,
+        )
+        self._leaf_cap = leaf_cap
+        self._lut_extent = lut_extent
 
     # -- gating (host; cheap over <= keyframe_cap entries) -------------------
     def find_candidates(self, keyframes: Sequence[KeyFrame], new_kf: KeyFrame) -> List[KeyFrame]:
@@ -222,19 +254,24 @@ class LoopDetector:
         )
 
     # -- verification --------------------------------------------------------
-    def verify(self, candidates: List[KeyFrame], scores, new_kf: KeyFrame) -> Optional[Loop]:
-        """Batched verification: all candidates share the new keyframe's maps,
-        so each resolution of the coarse-to-fine ladder (and the final fitness
-        pass) runs as ONE vmapped device call over the padded candidate batch
-        (the reference verifies serially with early exit; we verify all)."""
+    def dispatch_one(
+        self, candidates: List[KeyFrame], scores, new_kf: KeyFrame
+    ) -> Optional[PendingVerification]:
+        """Launch the fused verification program for one new keyframe:
+        ONE device dispatch, NO fetch. All candidates share the new
+        keyframe's ladder maps (built inside the program); the batch is
+        padded to the next power of two <= candidates_cap (under vmap the
+        Newton while_loop runs to the worst LANE, so fewer pad lanes means
+        less wasted work on the common 1-candidate verify)."""
         if not candidates:
             return None
         c = self.cfg
-        k_cap = c.candidates_cap
-        candidates = candidates[:k_cap]
-        scores = scores[:k_cap]
+        candidates = candidates[: c.candidates_cap]
+        scores = scores[: c.candidates_cap]
         k = len(candidates)
-        target_maps = {r: self._builds[r](new_kf.cloud) for r in self._resolutions}
+        k_pad = 1
+        while k_pad < k:
+            k_pad *= 2
 
         est_new = new_kf.estimate if new_kf.estimate is not None else new_kf.odom
         guesses = []
@@ -242,52 +279,95 @@ class LoopDetector:
             est_cand = cand.estimate if cand.estimate is not None else cand.odom
             g = np.linalg.inv(est_new) @ est_cand
             g[2, 3] = 0.0  # z forced flat (loop_detector.hpp:251)
-            guesses.append(g.astype(np.float32))
-        # pad the batch to the static cap with repeats (masked out below)
-        while len(guesses) < k_cap:
-            guesses.append(guesses[0])
-        cand_pad = candidates + [candidates[0]] * (k_cap - k)
+            guesses.append(g)
+        guesses_np = np.stack(guesses)
+        # pad the batch with repeats (sliced off at harvest)
+        pad = guesses + [guesses[0]] * (k_pad - k)
+        cand_pad = candidates + [candidates[0]] * (k_pad - k)
         xyz = jnp.stack([cd.cloud.xyz for cd in cand_pad])
         inten = jnp.stack([cd.cloud.intensity for cd in cand_pad])
         mask = jnp.stack([cd.cloud.mask for cd in cand_pad])
-        transforms = jnp.asarray(np.stack(guesses))
-        for r in self._resolutions:
-            transforms = self._batch_align(r)(target_maps[r], xyz, inten, mask, transforms)
-        fits = self._batch_fitness(new_kf.cloud, xyz, inten, mask, transforms)
-        rels = np.asarray(transforms, np.float64)
-        fits = np.asarray(fits)
+        budget = int(self.cfg.verify_coarse_points)
+        cap = int(xyz.shape[1])
+        stride = max(1, cap // budget) if budget > 0 else 1
+        fn = _fused_verify_fn(
+            self._resolutions, self._iter_schedule, self.cfg.ndt_neighborhood,
+            self._leaf_cap, self._lut_extent, 0.25, stride,
+        )
+        packed = fn(
+            new_kf.cloud.xyz, new_kf.cloud.intensity, new_kf.cloud.mask,
+            xyz, inten, mask,
+            jnp.asarray(np.stack(pad).astype(np.float32)),
+        )
+        return PendingVerification(
+            new_kf=new_kf, candidates=candidates, scores=list(scores),
+            guesses=guesses_np, packed=packed,
+        )
 
-        best = None
-        for idx in range(k):
-            rel, fit, guess = rels[idx], float(fits[idx]), guesses[idx].astype(np.float64)
-            # guess-consistency gate (LoopDetectorConfig.max_guess_correction_*)
-            corr = np.linalg.inv(guess) @ rel
-            corr_t = np.linalg.norm(corr[:3, 3])
-            corr_r = np.arccos(np.clip((np.trace(corr[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
-            if corr_t > c.max_guess_correction_trans or corr_r > c.max_guess_correction_rot:
+    def harvest(self, pending: Sequence[PendingVerification]) -> List[Loop]:
+        """Fetch and gate in-flight verifications (one fetch each). The
+        `min_edge_interval` gate is re-applied in order here — dispatches
+        within one cycle share a stale gate, exactly like the reference's
+        in-order serial detect (`loop_detector.hpp:79-93`)."""
+        c = self.cfg
+        loops: List[Loop] = []
+        for p in pending:
+            if (
+                p.new_kf.accum_distance - self.last_edge_accum_distance
+                < c.min_edge_interval
+            ):
                 continue
-            if fit <= c.fitness_score_thresh and (best is None or fit < best.fitness):
-                best = Loop(
-                    key1=new_kf, key2=candidates[idx], relative_pose=rel,
-                    fitness=fit, visual_score=scores[idx],
+            packed = np.asarray(p.packed, np.float64)  # the one fetch
+            best = None
+            for idx in range(len(p.candidates)):
+                rel = packed[idx, :16].reshape(4, 4)
+                fit = float(packed[idx, 16])
+                # guess-consistency gate (max_guess_correction_*)
+                corr = np.linalg.inv(p.guesses[idx]) @ rel
+                corr_t = np.linalg.norm(corr[:3, 3])
+                corr_r = np.arccos(
+                    np.clip((np.trace(corr[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
                 )
-        if best is not None:
-            self.last_edge_accum_distance = new_kf.accum_distance
-        return best
+                if (
+                    corr_t > c.max_guess_correction_trans
+                    or corr_r > c.max_guess_correction_rot
+                ):
+                    continue
+                if fit <= c.fitness_score_thresh and (best is None or fit < best.fitness):
+                    best = Loop(
+                        key1=p.new_kf, key2=p.candidates[idx], relative_pose=rel,
+                        fitness=fit, visual_score=p.scores[idx],
+                    )
+            if best is not None:
+                self.last_edge_accum_distance = p.new_kf.accum_distance
+                loops.append(best)
+        return loops
 
-    def _batch_align(self, resolution: float):
-        return _batched_align_fn(resolution, self.cfg.ndt_neighborhood)
-
-    def _batch_fitness(self, target_cloud, xyz, inten, mask, transforms):
-        return _batched_fitness_fn()(target_cloud, xyz, inten, mask, transforms)
-
-    def detect(self, keyframes: Sequence[KeyFrame], new_keyframes: Sequence[KeyFrame]) -> List[Loop]:
+    def dispatch_verifications(
+        self, keyframes: Sequence[KeyFrame], new_keyframes: Sequence[KeyFrame]
+    ) -> List[PendingVerification]:
+        """Gate + rank + launch device verifications for a batch of new
+        keyframes; returns the in-flight handles (harvest later)."""
         self.maybe_train_vocabulary(list(keyframes) + list(new_keyframes))
-        loops = []
+        pending = []
         for new_kf in new_keyframes:
             candidates = self.find_candidates(keyframes, new_kf)
             ranked, scores = self.rank_candidates(candidates, new_kf)
-            loop = self.verify(ranked, scores, new_kf)
-            if loop is not None:
-                loops.append(loop)
-        return loops
+            p = self.dispatch_one(ranked, scores, new_kf)
+            if p is not None:
+                pending.append(p)
+        return pending
+
+    def verify(self, candidates: List[KeyFrame], scores, new_kf: KeyFrame) -> Optional[Loop]:
+        """Synchronous one-keyframe verification (dispatch + immediate
+        harvest); the async pipeline uses dispatch_one/harvest directly."""
+        p = self.dispatch_one(candidates, scores, new_kf)
+        if p is None:
+            return None
+        got = self.harvest([p])
+        return got[0] if got else None
+
+    def detect(self, keyframes: Sequence[KeyFrame], new_keyframes: Sequence[KeyFrame]) -> List[Loop]:
+        """Synchronous detect (reference `detect`, `loop_detector.hpp:79-93`):
+        dispatch + harvest in one call."""
+        return self.harvest(self.dispatch_verifications(keyframes, new_keyframes))

@@ -68,6 +68,9 @@ class GlobalGraph:
         self.new_keyframes: List[KeyFrame] = []
         self.keyframe_queue: List[KeyFrame] = []
         self.loops: List[Loop] = []
+        # in-flight device loop verifications (dispatched last optimize
+        # cycle, harvested at the next — see LoopDetector.dispatch/harvest)
+        self.pending_loops: List = []
         self.odoms: Dict[int, np.ndarray] = {}
         self.trans_odom2map = np.eye(4)
         self.zero_utm: Optional[np.ndarray] = None
@@ -369,6 +372,14 @@ class GlobalGraph:
             self._flush_window()
             self._w_parts, self._w_partials, self._w_odom = [], [], None
 
+    def drain(self) -> None:
+        """Run optimize cycles until the keyframe queue is empty AND every
+        in-flight loop verification has been harvested (the async detect
+        defers verdicts by one cycle). End-of-sequence idiom:
+        `backend.finish(); backend.drain()`."""
+        while self.keyframe_queue or self.pending_loops:
+            self.optimize()
+
     def _extract_orb(self, image: np.ndarray):
         from lv_slam_tpu.ops import orb
 
@@ -379,13 +390,23 @@ class GlobalGraph:
     # --------------------------------------------------------------- optimize
     def optimize(self, num_iterations: Optional[int] = None):
         """One `optimization_timer_callback` cycle. Returns the LM result or
-        None when nothing new arrived."""
+        None when nothing new arrived (no flushed keyframes AND no pending
+        loop verifications).
+
+        Loop detection is asynchronous, like the reference's backend thread
+        that never blocks odometry (`global_graph_nodelet.cpp:670-764`):
+        this cycle HARVESTS the verifications dispatched last cycle (their
+        device work overlapped the pipeline in between), adds the accepted
+        loop edges, then DISPATCHES verifications for this cycle's new
+        keyframes without waiting on them. Call `drain()` at end of
+        sequence to flush both queues."""
         cfg = self.cfg
         updated = self._flush_keyframe_queue()
-        if not updated:
+        loops = self.loop_detector.harvest(self.pending_loops)
+        self.pending_loops = []
+        if not updated and not loops:
             return None
 
-        loops = self.loop_detector.detect(self.keyframes, self.new_keyframes)
         for loop in loops:
             info = np.asarray(
                 calc_information_matrix(loop.key1.cloud, loop.key2.cloud, loop.relative_pose, cfg)
@@ -402,6 +423,10 @@ class GlobalGraph:
             self._n_edges += 1
             self.loops.append(loop)
 
+        if updated:
+            self.pending_loops = self.loop_detector.dispatch_verifications(
+                self.keyframes, self.new_keyframes
+            )
         self.keyframes.extend(self.new_keyframes)
         self.new_keyframes = []
 

@@ -112,8 +112,9 @@ class LvSlam:
         """Flush the trailing keyframe window and run a final optimization."""
         self.backend.finish()
         result = None
-        while self.backend.keyframe_queue:
-            result = self.backend.optimize()
+        while self.backend.keyframe_queue or self.backend.pending_loops:
+            out = self.backend.optimize()
+            result = out if out is not None else result
         return result
 
     def trajectory(self) -> np.ndarray:

@@ -124,8 +124,7 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
     if pending is not None:
         drain(pending)
     backend.finish()
-    while backend.keyframe_queue:
-        backend.optimize()
+    backend.drain()
     return poses, backend
 
 

@@ -70,8 +70,7 @@ def test_backend_loop_closure(circle_run):
         if i % 10 == 9:  # the reference's 10 s wall-timer analogue
             backend.optimize()
     backend.finish()
-    while backend.keyframe_queue:
-        backend.optimize()
+    backend.drain()
     assert len(backend.keyframes) >= 8
     assert len(backend.loops) >= 1, "expected a loop closure on the closed circle"
     # the visual path was active: keyframes carry ORB descriptors and the
@@ -96,8 +95,7 @@ def test_backend_dump_and_save_map(circle_run, tmp_path):
         cloud = PointCloud.from_numpy(scan, cap=16384)
         backend.add_scan(i, i * 0.1, odoms[i], cloud)
     backend.finish()
-    while backend.keyframe_queue:
-        backend.optimize()
+    backend.drain()
 
     d = str(tmp_path / "dump")
     assert backend.dump(d)
@@ -140,8 +138,7 @@ def test_g2o_checkpoint_resume(circle_run, tmp_path):
             floor_coeffs=np.array([0.0, 0.0, 1.0, 1.73]),
         )
     backend.finish()
-    while backend.keyframe_queue:
-        backend.optimize()
+    backend.drain()
     d = str(tmp_path / "dump")
     backend.dump(d)
 
@@ -201,8 +198,7 @@ def test_add_scan_batch_parity(circle_run):
         if i % 10 == 9:  # periodic optimize keeps loop-verify guesses sane
             ref.optimize()
     ref.finish()
-    while ref.keyframe_queue:
-        ref.optimize()
+    ref.drain()
 
     def run_batch(filtered):
         bat = _build_backend()
@@ -231,8 +227,7 @@ def test_add_scan_batch_parity(circle_run):
             )
             bat.optimize()
         bat.finish()
-        while bat.keyframe_queue:
-            bat.optimize()
+        bat.drain()
         return bat
 
     assert len(ref.loops) >= 1

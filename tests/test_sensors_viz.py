@@ -27,8 +27,7 @@ def _feed(backend, rng, n=10, gps=None):
             gps_xyz=None if gps is None else gps[i],
         )
     backend.finish()
-    while backend.keyframe_queue:
-        backend.optimize()
+    backend.drain()
 
 
 def test_gps_priors_attach_and_constrain(rng):
