@@ -131,29 +131,46 @@ def main():
     vr = os.environ.get("BENCH_VOXEL_REDUCE")
     sub = os.environ.get("BENCH_SUBSAMPLE")
     ds = os.environ.get("BENCH_DOWNSAMPLE")
-    if vr or sub or ds:
+    lfa_stride = os.environ.get("BENCH_LFA_STRIDE")
+    if vr or sub or ds or lfa_stride:
         pf = _dc.replace(
             cfg.prefilter,
             **({"voxel_reduce": vr} if vr else {}),
             **({"downsample_method": ds} if ds else {}),
         )
         od = _dc.replace(cfg.odometry, **({"subsample_method": sub} if sub else {}))
-        cfg = _dc.replace(cfg, prefilter=pf, odometry=od)
+        lf = _dc.replace(
+            cfg.lfa,
+            **({"mapping_skip_frame": int(lfa_stride)} if lfa_stride else {}),
+        )
+        cfg = _dc.replace(cfg, prefilter=pf, odometry=od, lfa=lf)
     # record the EFFECTIVE prefilter path (override or shipped default) so
     # sweep artifacts are comparable without knowing the config history
     extra_ab = {
         "voxel_reduce": cfg.prefilter.voxel_reduce,
         "subsample": cfg.odometry.subsample_method,
         "downsample": cfg.prefilter.downsample_method,
+        "lfa_stride": cfg.lfa.mapping_skip_frame,
     }
 
     world = synthetic.make_world(seed=5)
-    gt_poses = synthetic.circle_trajectory(n_scans, step=1.0)
+    # BENCH_TRAJECTORY=double_circle: two laps over the same travel — the
+    # MULTI-loop workload (VERDICT r4 #7). Lap 2 revisits lap 1 throughout,
+    # so with the flagship gates (100 m accum / 50 m interval / 20 m radius)
+    # a 300-scan double circle fires ~3 accepted closures plus gated
+    # rejections; the default single circle fires exactly one at the end.
+    traj = os.environ.get("BENCH_TRAJECTORY", "circle")
+    laps = 2 if traj == "double_circle" else 1
+    if traj == "double_circle" and "BENCH_SCANS" not in os.environ:
+        n_scans = 300  # 150 m laps: > accum_distance_thresh, 3x min_edge_interval
+    gt_poses = synthetic.circle_trajectory(n_scans, step=1.0, laps=laps)
+    extra_ab["trajectory"] = traj
     rays = synthetic.hdl64_rays(64, 2000)
     # the ray-traced workload is deterministic in (seed, n_scans, ray grid):
     # cache it on disk — simulation costs ~4 s/scan on this host and is rig
     # overhead, not pipeline time
-    cache = f"/root/.cache/lv_slam_bench_scans_v1_{n_scans}.npz"
+    tag = "" if laps == 1 else f"_{traj}"
+    cache = f"/root/.cache/lv_slam_bench_scans_v1_{n_scans}{tag}.npz"
     try:
         with np.load(cache) as z:
             scans = [z[f"s{i}"] for i in range(n_scans)]
@@ -214,6 +231,16 @@ def main():
 
         if mode == "full":
             from lv_slam_tpu.lfa.fused import run_sequence_lfa
+            from lv_slam_tpu.pipeline.fused_chain import run_sequence_chain
+
+        # the dlo->lfa stages run as ONE lax.scan per chunk by default
+        # (pipeline/fused_chain.py): one dispatch instead of two serialized
+        # programs, no intermediate (N,4,4) odometry materialization, and
+        # XLA overlaps LFA feature extraction with the NDT Newton iterations
+        # inside each step. BENCH_CHAIN=split restores the two-program path
+        # (the delta is the fusion gain).
+        use_chain = os.environ.get("BENCH_CHAIN", "fused") != "split"
+        extra["chain"] = "fused" if (mode == "full" and use_chain) else "split"
 
         loop_time = [0.0]
         # per-scan host/relay budget attribution (VERDICT r4 #4): pose-fetch
@@ -237,12 +264,19 @@ def main():
             # reference loads its DBoW3 asset at startup
             # (loop_detector.hpp:51-71) — auto-training k-means inside the
             # timed chain cost ~2.3 s in the round-4 on-chip profile.
-            vocab = Vocabulary.load(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "lv_slam_tpu", "assets", "vocab_synthetic_512.npz",
-                )
+            # BENCH_VOCAB overrides the asset; a `.yml(.gz)` path goes
+            # through the DBoW3 importer (e.g. the reference's own
+            # `config/vocabulary.yml.gz` — run the accuracy validation with
+            # the REAL vocabulary at its native scale).
+            vocab_path = os.environ.get("BENCH_VOCAB") or os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "lv_slam_tpu", "assets", "vocab_synthetic_512.npz",
             )
+            if vocab_path.endswith((".yml", ".yml.gz")):
+                vocab = Vocabulary.load_dbow3(vocab_path)
+            else:
+                vocab = Vocabulary.load(vocab_path)
+            extra["vocab_words"] = int(vocab.centers.shape[0])
             backend = GlobalGraph(
                 GraphConfig(
                     keyframe_cap=64, edge_cap=256, prior_cap=16,
@@ -265,6 +299,19 @@ def main():
                     return out
 
                 setattr(backend.loop_detector, name, timed)
+            # the backend runs on its own worker thread by default, like the
+            # reference's backend nodelet (global_graph_nodelet.cpp:670-764):
+            # the timed chain pays only enqueue + the end-of-sequence join;
+            # feed/optimize host+relay time overlaps device dispatches.
+            # BENCH_ASYNC=0 restores the in-line backend (the delta is the
+            # overlap gain). Results are identical either way (FIFO worker).
+            if os.environ.get("BENCH_ASYNC", "1") != "0":
+                from lv_slam_tpu.pipeline.async_backend import AsyncBackend
+
+                backend = AsyncBackend(backend)
+                extra["backend_async"] = True
+            else:
+                extra["backend_async"] = False
             return backend
 
         def run_chain(with_lfa):
@@ -276,50 +323,78 @@ def main():
             dispatched BEFORE chunk k-1's pose fetch + backend host work, so
             the host/relay side of the backend overlaps device compute."""
             backend = make_backend() if mode in ("full", "dlo_ggo") else None
-            odo_state = lfa_state = None
-            all_poses = []
+            odo_state = lfa_state = chain_state = None
             pending = None
             for k in stage_time:
                 stage_time[k] = 0.0
 
-            def drain(p):
-                s, e, refined, cloud, imgs = p
+            pose_parts = {}  # chunk start -> host poses (ordered at join)
+
+            def feed_chunk(s, e, refined, cloud, imgs, g):
+                """Fetch this chunk's poses and feed the backend — runs on
+                the AsyncBackend worker (FIFO, so pose_parts fills in
+                order); the fetch's relay latency overlaps the producer's
+                next-chunk dispatches exactly like the reference's
+                odometry-publisher / backend-subscriber split."""
                 t0 = time.perf_counter()
                 poses_np = np.asarray(refined)  # the chunk sync point
-                stage_time["fetch"] += time.perf_counter() - t0
-                if backend is not None:
-                    # chunk-level backend feed: keyframe gates run on host
-                    # poses; the cloud is the odometry program's
-                    # /filtered_points product, so each window segment is
-                    # one motion-compose + dedup program
-                    t0 = time.perf_counter()
-                    backend.add_scan_batch(
-                        s, stamps_np[s:e], poses_np, cloud, images=imgs,
-                        filtered=True,
-                    )
-                    stage_time["feed"] += time.perf_counter() - t0
-                    # reference optimization cadence: 10 s wall timer
-                    # (graph_update_interval) = every ~100 scans at 10 Hz
-                    if any((i + 1) % 100 == 0 for i in range(s, e)):
-                        t0 = time.perf_counter()
-                        backend.optimize()
-                        stage_time["optimize"] += time.perf_counter() - t0
-                all_poses.append(poses_np)
-
-            for s, e, xyz, mask, inten, stamps, imgs_dev in chunks:
-                (odom, filt), odo_state = run_sequence_fused(
-                    xyz, mask, stamps, cfg.odometry, cfg.prefilter,
-                    init_state=odo_state, return_state=True,
-                    inten=inten, return_filtered=True,
+                g.timings["feed_pose_fetch"] = (
+                    g.timings.get("feed_pose_fetch", 0.0)
+                    + time.perf_counter() - t0
                 )
-                if with_lfa:
-                    # lfa consumes the RAW scan like the reference's A-LOAM
-                    refined, lfa_state = run_sequence_lfa(
-                        xyz, mask, cfg.lfa, odom_poses=odom,
-                        init_state=lfa_state, return_state=True,
+                pose_parts[s] = poses_np
+                g.add_scan_batch(
+                    s, stamps_np[s:e], poses_np, cloud, images=imgs,
+                    filtered=True,
+                )
+                # reference optimization cadence: 10 s wall timer
+                # (graph_update_interval) = every ~100 scans at 10 Hz
+                if any((i + 1) % 100 == 0 for i in range(s, e)):
+                    g.optimize()
+
+            def drain(p):
+                s, e, refined, cloud, imgs = p
+                if backend is None:
+                    t0 = time.perf_counter()
+                    pose_parts[s] = np.asarray(refined)  # the chunk sync
+                    stage_time["fetch"] += time.perf_counter() - t0
+                elif hasattr(backend, "graph_backend"):
+                    # async backend: even the pose fetch leaves the timed
+                    # chain (the producer only dispatches device programs)
+                    backend.submit(
+                        feed_chunk, s, e, refined, cloud, imgs,
+                        backend.graph_backend,
                     )
                 else:
-                    refined = odom
+                    # synchronous backend (BENCH_ASYNC=0): fetch + feed +
+                    # optimize cadence all bill the timed chain; the
+                    # per-phase split is in backend_phase_ms_per_scan
+                    t0 = time.perf_counter()
+                    feed_chunk(s, e, refined, cloud, imgs, backend)
+                    stage_time["feed"] += time.perf_counter() - t0
+
+            for s, e, xyz, mask, inten, stamps, imgs_dev in chunks:
+                if with_lfa and use_chain:
+                    # fused dlo+lfa chain: one device program per chunk
+                    (odom, refined, filt), chain_state = run_sequence_chain(
+                        xyz, mask, stamps, cfg.odometry, cfg.prefilter,
+                        cfg.lfa, init_state=chain_state, return_state=True,
+                        inten=inten, return_filtered=True,
+                    )
+                else:
+                    (odom, filt), odo_state = run_sequence_fused(
+                        xyz, mask, stamps, cfg.odometry, cfg.prefilter,
+                        init_state=odo_state, return_state=True,
+                        inten=inten, return_filtered=True,
+                    )
+                    if with_lfa:
+                        # lfa consumes the RAW scan like the reference's A-LOAM
+                        refined, lfa_state = run_sequence_lfa(
+                            xyz, mask, cfg.lfa, odom_poses=odom,
+                            init_state=lfa_state, return_state=True,
+                        )
+                    else:
+                        refined = odom
                 if pending is not None:
                     drain(pending)
                 pending = (s, e, refined, PointCloud(*filt), imgs_dev)
@@ -332,7 +407,22 @@ def main():
                 extra["keyframes"] = len(backend.keyframes)
                 extra["n_loops"] = len(backend.loops)
                 extra["bow_active"] = backend.loop_detector.vocabulary is not None
-            return np.concatenate(all_poses, axis=0)
+                # per-gate rejection counters: multi-loop workloads must
+                # show the gates actually discriminating (VERDICT r4 #7)
+                extra["loop_rejections"] = dict(backend.loop_detector.stats)
+                # per-phase backend budget (VERDICT r4 #4): ms/scan for each
+                # feed_*/opt_* phase (opt_cycles is a COUNT); a *_fetch
+                # entry includes device work it waited on — the relay queue
+                # is serial, so a fetch drains everything dispatched before
+                # it
+                extra["backend_phase_ms_per_scan"] = {
+                    k: (round(v) if k == "opt_cycles"
+                        else round(v / n_scans * 1000.0, 2))
+                    for k, v in sorted(backend.timings.items())
+                }
+            return np.concatenate(
+                [pose_parts[k] for k in sorted(pose_parts)], axis=0
+            )
 
         if os.environ.get("BENCH_ACCURACY_ONLY") == "1":
             # ONE pass, no reps/deltas/fleet: validates the accuracy fields
@@ -375,7 +465,11 @@ def main():
             # run_chain overwrites the keyframe/loop/bow extras — snapshot
             # the TIMED flagship run's values (the tracking gate and the
             # reported stats must describe the headline run, not the delta)
-            snap = {k: extra[k] for k in ("keyframes", "n_loops", "bow_active") if k in extra}
+            snap = {
+                k: extra[k]
+                for k in ("keyframes", "n_loops", "bow_active", "loop_rejections")
+                if k in extra
+            }
             off = []
             for _ in range(2):
                 t0 = time.perf_counter()

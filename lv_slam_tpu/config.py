@@ -128,6 +128,13 @@ class LfaConfig:
     minimum_range: float = 5.0
     mapping_line_resolution: float = 0.4
     mapping_plane_resolution: float = 0.8
+    # A-LOAM's skipFrameNum: the mapping stage sees only every N-th frame
+    # (its main loop additionally drops queued frames when it falls behind);
+    # in-between poses are the odometry composed onto the last map
+    # correction (aft_mapped_to_init_high_frec). In the fused dlo_lfa
+    # coupling a skipped scan costs ~nothing (feature extraction + GN +
+    # insert all sit in the unexecuted cond branch) — the measured LFA cost
+    # divides by ~N.
     mapping_skip_frame: int = 1
     # vertical field of view of the scanner (ring index recovery): HDL-64
     # spans +2..-24.8 deg; 16-line sensors (VLP-16 in the kylin/grodog rigs)
@@ -157,11 +164,20 @@ class LfaConfig:
     knn_slots: int = 6
     knn_k: int = 5
     knn_table_density: float = 0.5
-    # world feature maps are cropped to this radius around the pose each
-    # scan: the sensor sees <= ~120 m and the correspondence gate is 1 m, so
-    # features beyond 150 m can never match (A-LOAM's 21x21x11 50-m-cube
-    # grid covers +-500 m but only the in-view cubes are ever queried)
+    # world feature maps are cropped to this radius around the pose: the
+    # sensor sees <= ~120 m and the correspondence gate is 1 m, so features
+    # beyond 150 m can never match (A-LOAM's 21x21x11 50-m-cube grid covers
+    # +-500 m but only the in-view cubes are ever queried)
     crop_radius: float = 150.0
+    # crop only after the pose has moved this far since the last crop
+    # (A-LOAM likewise re-centers its cube grid only when the pose nears a
+    # boundary, laserMapping.cpp — not every frame). The crop pass is a full
+    # table sweep (~3 ms/scan on v5e for both maps); queries probe only the
+    # 8 cells around each feature point, so points lingering briefly past
+    # the radius are query-invisible — the interval's only effect is that
+    # the table may transiently hold points out to crop_radius +
+    # crop_interval. 0 restores crop-every-scan.
+    crop_interval: float = 10.0
     # --- capacities ---
     edge_cap: int = 4096
     planar_cap: int = 8192
@@ -196,10 +212,17 @@ class LoopDetectorConfig:
     # stage widens the basin proportionally (improvement over reference).
     multiscale: Tuple[float, ...] = (4.0, 2.0)
     # Newton-iteration caps per ladder rung. The epsilon test ends the
-    # while_loop early on convergence, so these caps only bind on
-    # non-converging lanes; under vmap the batch runs to the WORST lane.
-    multiscale_max_iterations: int = 64
-    verify_max_iterations: int = 64
+    # while_loop early on convergence, but under vmap the candidate batch
+    # runs to the WORST lane — and wrong-place candidates (the gates'
+    # rejects) often never converge, so the cap IS the cost of a rung.
+    # Coarse rungs only need to pull a drifted guess into the next basin
+    # (in-sequence NDT converges in ~2.4 Newton iters; a loop seed is a
+    # few meters off, each rung halves it); the final rung polishes from
+    # an already-close seed. 8/8/16 keeps every accepted loop in the
+    # full-density CPU validations (circle + double_circle, t_err
+    # unchanged) at ~1/4 the worst-lane device cost of the old 64/64/64.
+    multiscale_max_iterations: int = 8
+    verify_max_iterations: int = 16
     # Source-cloud point budget for the COARSE rungs only: the NDT
     # derivative pass is gather-bound (cost ~ linear in point count), and
     # pulling a drifted guess into the next rung's basin doesn't need the

@@ -129,6 +129,15 @@ class LoopDetector:
         self._index = None            # lazy bow.InvertedIndex over keyframes
         self._indexed: set = set()
         self.last_edge_accum_distance = 0.0
+        # rejection counters (observability for multi-loop workloads): how
+        # many verified candidates each gate discarded — the reference's
+        # loop pipeline silently drops these (`loop_detector.hpp:241-269`)
+        self.stats = {
+            "verified": 0,
+            "bow_rejected": 0,
+            "guess_rejected": 0,
+            "fitness_rejected": 0,
+        }
         c = self.cfg
         # coarse-to-fine ladder: e.g. (4.0, 2.0, 1.0); see LoopDetectorConfig
         self._resolutions = tuple(c.multiscale) + (c.ndt_resolution,)
@@ -228,6 +237,7 @@ class LoopDetector:
         rscores = [scores[i] for i in order]
         # BoW accept gate (loop_detector.hpp:244)
         keep = [i for i, s in enumerate(rscores) if s >= self.cfg.bow_score_thresh]
+        self.stats["bow_rejected"] += len(rscores) - len(keep)
         return [ranked[i] for i in keep], [rscores[i] for i in keep]
 
     @staticmethod
@@ -318,6 +328,7 @@ class LoopDetector:
             ):
                 continue
             packed = np.asarray(p.packed, np.float64)  # the one fetch
+            self.stats["verified"] += len(p.candidates)
             best = None
             for idx in range(len(p.candidates)):
                 rel = packed[idx, :16].reshape(4, 4)
@@ -332,7 +343,10 @@ class LoopDetector:
                     corr_t > c.max_guess_correction_trans
                     or corr_r > c.max_guess_correction_rot
                 ):
+                    self.stats["guess_rejected"] += 1
                     continue
+                if fit > c.fitness_score_thresh:
+                    self.stats["fitness_rejected"] += 1
                 if fit <= c.fitness_score_thresh and (best is None or fit < best.fitness):
                     best = Loop(
                         key1=p.new_kf, key2=p.candidates[idx], relative_pose=rel,

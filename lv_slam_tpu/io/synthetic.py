@@ -156,12 +156,22 @@ def figure8_trajectory(
 
 
 def circle_trajectory(
-    n_poses: int, step: float = 1.0, z: float = 1.73, radius: float = 24.5
+    n_poses: int, step: float = 1.0, z: float = 1.73, radius: float = 24.5,
+    laps: int = 1,
 ) -> np.ndarray:
     """(n,4,4) closed circular drive, yaw along the tangent: the vehicle
     revisits its start after 2*pi*radius meters of travel — the loop-closure
     workload (the KITTI flagship loop gates need >=100 m accumulated travel
-    between revisits, `launch/dlo_lfa_ggo_kitti.launch:104-106`)."""
+    between revisits, `launch/dlo_lfa_ggo_kitti.launch:104-106`).
+
+    `laps > 1` shrinks the radius so the SAME n_poses*step of travel goes
+    around `laps` times — the MULTI-loop workload: every scan of lap k >= 2
+    revisits lap k-1, so closures fire all along the lap (spaced by the
+    detector's `min_edge_interval`), including candidates the gates must
+    reject — the reference's sequential detect handles exactly this stream
+    (`loop_detector.hpp:79-140`)."""
+    if laps > 1:
+        radius = n_poses * step / (2.0 * np.pi * laps)
     ang = np.arange(n_poses) * step / radius
     poses = np.zeros((n_poses, 4, 4), np.float32)
     for i, a in enumerate(ang):

@@ -155,11 +155,21 @@ def _sector_topk(image, c, ok, per_sector, n_sectors, largest):
 
 
 def _compact(pts, good, cap):
-    """Flatten picks and compact valid ones into the fixed cap."""
+    """Flatten picks and compact valid ones into the fixed cap.
+
+    ONE stable multi-operand `lax.sort` carries the coordinates through the
+    compaction (same permutation as the old argsort, minus its two row
+    gathers — the compact_rows pattern above; CLAUDE.md round-3 facts)."""
     pts = pts.reshape(-1, 3)
     good = good.reshape(-1)
-    order = jnp.argsort(~good, stable=True)[:cap]
-    return jnp.where(good[order][:, None], pts[order], SENTINEL), good[order]
+    key = (~good).astype(jnp.int32)
+    k, x, y, z = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2]), dimension=0,
+        is_stable=True, num_keys=1,
+    )
+    m = k[:cap] == 0
+    out = jnp.stack([x[:cap], y[:cap], z[:cap]], axis=-1)
+    return jnp.where(m[:, None], out, SENTINEL), m
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -181,7 +191,6 @@ def extract_features(cloud: PointCloud, cfg: LfaConfig) -> FeatureClouds:
 
     edge_thresh, surf_thresh = 0.1, 0.1
     is_max = _local_extrema(jnp.nan_to_num(c, nan=-jnp.inf), 2, maxima=True)
-    is_min = _local_extrema(jnp.nan_to_num(c, nan=jnp.inf), 2, maxima=False)
 
     edge_ok = cok & is_max & (c > edge_thresh)
     surf_ok = cok & (c < surf_thresh)
@@ -194,15 +203,24 @@ def extract_features(cloud: PointCloud, cfg: LfaConfig) -> FeatureClouds:
         cfg.edge_cap // 4,
     )
     less_sharp, less_sharp_m = _compact(e_pts, e_good, cfg.edge_cap)
-    f_pts, f_good = _sector_topk(
-        image, c, surf_ok & is_min, cfg.flat_per_sector, cfg.n_sectors, largest=False
-    )
-    flat, flat_m = _compact(f_pts, f_good, cfg.planar_cap // 4)
     # less-flat: every surf-eligible cell, subsampled by taking a generous
     # top-k of lowest curvature (A-LOAM voxel-downsamples all non-edge points)
+    k_less_flat = max(
+        cfg.flat_per_sector,
+        cfg.planar_cap // (cfg.n_sectors * cfg.scan_line),
+    )
     g_pts, g_good = _sector_topk(
-        image, c, surf_ok, max(1, cfg.planar_cap // (cfg.n_sectors * cfg.scan_line)),
-        cfg.n_sectors, largest=False,
+        image, c, surf_ok, k_less_flat, cfg.n_sectors, largest=False,
+    )
+    # flat picks = the lowest-curvature prefix of the SAME top-k (top_k
+    # orders by score, so columns [:k'] equal a separate k'-pick call) —
+    # one selection network serves both, like sharp/less_sharp above.
+    # A-LOAM likewise picks its 4 flat points as the lowest-curvature surf
+    # cells per sector (scanRegistration.cpp pick loop) with no
+    # local-minimum requirement; the earlier is_min gate was our deviation.
+    flat, flat_m = _compact(
+        g_pts[:, :, : cfg.flat_per_sector], g_good[:, :, : cfg.flat_per_sector],
+        cfg.planar_cap // 4,
     )
     less_flat, less_flat_m = _compact(g_pts, g_good, cfg.planar_cap)
     return FeatureClouds(

@@ -58,6 +58,7 @@ class LfaFusedState(NamedTuple):
     map_pose: jax.Array     # (4,4) refined world pose (aft_mapped)
     last_odom: jax.Array    # (4,4) odometry pose of the previous scan
     scan_idx: jax.Array     # () int32
+    crop_center: jax.Array  # (3,) pose of the last table crop
 
 
 def _extract(xyz, mask, cfg: LfaConfig) -> FeatureClouds:
@@ -81,7 +82,12 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
         crop_radius = cfg.crop_radius
     grid_cell = 2.0
 
-    def _insert_and_crop(state_edge, state_surf, feats, pose):
+    def _insert_and_crop(state_edge, state_surf, feats, pose, crop_center):
+        """Insert this scan's world-frame features; crop both tables only
+        once the pose has moved `cfg.crop_interval` from the last crop (the
+        crop is a full table sweep — ~3 ms/scan for both maps on v5e — and
+        is query-invisible between intervals; see config.crop_interval).
+        Returns (edge_table, surf_table, new_crop_center)."""
         edge_w = se3.transform_points(pose, feats.less_sharp)
         surf_w = se3.transform_points(pose, feats.less_flat)
         edge_table = insert_cell_table(
@@ -91,9 +97,30 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
             state_surf, surf_w, feats.less_flat_mask, cfg.mapping_plane_resolution
         )
         center = pose[:3, 3]
-        edge_table = crop_cell_table(edge_table, center, crop_radius)
-        surf_table = crop_cell_table(surf_table, center, crop_radius)
-        return edge_table, surf_table
+        if cfg.crop_interval <= 0.0:
+            return (
+                crop_cell_table(edge_table, center, crop_radius),
+                crop_cell_table(surf_table, center, crop_radius),
+                center,
+            )
+        moved2 = jnp.sum((center - crop_center) ** 2)
+
+        def crop_both(tabs):
+            e, s = tabs
+            return (
+                crop_cell_table(e, center, crop_radius),
+                crop_cell_table(s, center, crop_radius),
+                center,
+            )
+
+        def keep(tabs):
+            e, s = tabs
+            return e, s, crop_center
+
+        return jax.lax.cond(
+            moved2 > jnp.float32(cfg.crop_interval) ** 2,
+            crop_both, keep, (edge_table, surf_table),
+        )
 
     def init_state(xyz, mask, odom0) -> LfaFusedState:
         feats = _extract(xyz, mask, cfg)
@@ -104,7 +131,9 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
         surf_table = empty_cell_table(
             _n_buckets(cfg, cfg.map_planar_cap), cfg.knn_slots, grid_cell
         )
-        edge_table, surf_table = _insert_and_crop(edge_table, surf_table, feats, pose0)
+        edge_table, surf_table, crop_center = _insert_and_crop(
+            edge_table, surf_table, feats, pose0, pose0[:3, 3] + 1e6
+        )
         return LfaFusedState(
             prev_edge_grid=build_grid(feats.less_sharp, feats.less_sharp_mask, grid_cell),
             prev_surf_grid=build_grid(feats.less_flat, feats.less_flat_mask, grid_cell),
@@ -115,9 +144,80 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
             map_pose=pose0,
             last_odom=pose0,
             scan_idx=jnp.int32(1),
+            crop_center=crop_center,
         )
 
+    # A-LOAM's laserMapping DROPS frames (skipFrameNum throttles what the
+    # odometry stage forwards; the mapping main loop additionally keeps only
+    # the latest queued frame when it falls behind) and the high-frequency
+    # output composes the raw odometry onto the last map correction
+    # (aft_mapped_to_init_high_frec). stride > 1 replicates that: only every
+    # stride-th scan runs the scan-to-map GN + map insert; skipped scans
+    # output `map_pose ∘ (last_mapped_odom⁻¹ ∘ odom)` and leave the maps
+    # untouched. Under lax.scan the cond executes only the taken branch
+    # (measured — see CLAUDE.md), so a skipped scan costs ~nothing: in the
+    # external-odom (dlo_lfa) coupling even feature extraction moves inside
+    # the mapped branch.
+    # (standalone feature odometry extracts features every scan regardless —
+    # the s2s solve needs them — so the fused stride applies only to the
+    # external-odom coupling; the host driver `lfa/mapping.py` throttles its
+    # own way)
+    stride = max(1, int(cfg.mapping_skip_frame))
+
     def step(state: LfaFusedState, xyz, mask, ext_odom):
+        if external_odom and stride > 1:
+            odom = jnp.asarray(ext_odom, jnp.float32)
+            rel_map = se3.inverse(state.last_odom) @ odom
+            guess = state.map_pose @ rel_map
+            do_map = (state.scan_idx % stride) == 0
+
+            def mapped():
+                feats = _extract(xyz, mask, cfg)
+                t = guess
+                for _ in range(cfg.mapping_corr_rounds):
+                    ye = se3.transform_points(t, feats.less_sharp)
+                    lines = reg.lines_from_fit(
+                        ye, feats.less_sharp_mask, state.edge_table, k=cfg.knn_k
+                    )
+                    ys = se3.transform_points(t, feats.less_flat)
+                    planes = reg.planes_from_fit(
+                        ys, feats.less_flat_mask, state.surf_table, k=cfg.knn_k
+                    )
+                    t2 = reg.gn_solve(
+                        t, feats.less_sharp, lines, feats.less_flat, planes,
+                        cfg.mapping_max_iterations,
+                    )
+                    t = t2
+                refined = se3.orthonormalize(t)
+                et, st_, cc = _insert_and_crop(
+                    state.edge_table, state.surf_table, feats, refined,
+                    state.crop_center,
+                )
+                return et, st_, refined, odom, refined, cc
+
+            def skipped():
+                return (
+                    state.edge_table, state.surf_table,
+                    state.map_pose, state.last_odom, guess, state.crop_center,
+                )
+
+            edge_table, surf_table, map_pose, last_odom, out, crop_center = (
+                jax.lax.cond(do_map, mapped, skipped)
+            )
+            new_state = LfaFusedState(
+                prev_edge_grid=state.prev_edge_grid,
+                prev_surf_grid=state.prev_surf_grid,
+                odom_pose=odom,
+                last_rel=state.last_rel,
+                edge_table=edge_table,
+                surf_table=surf_table,
+                map_pose=map_pose,
+                last_odom=last_odom,
+                scan_idx=state.scan_idx + 1,
+                crop_center=crop_center,
+            )
+            return new_state, out
+
         feats = _extract(xyz, mask, cfg)
 
         if external_odom:
@@ -155,8 +255,9 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
             t = reg.gn_solve(t, feats.less_sharp, lines, feats.less_flat, planes, cfg.mapping_max_iterations)
         refined = se3.orthonormalize(t)
 
-        edge_table, surf_table = _insert_and_crop(
-            state.edge_table, state.surf_table, feats, refined
+        edge_table, surf_table, crop_center = _insert_and_crop(
+            state.edge_table, state.surf_table, feats, refined,
+            state.crop_center,
         )
 
         new_state = LfaFusedState(
@@ -169,6 +270,7 @@ def make_lfa_fused(cfg: LfaConfig, external_odom: bool, crop_radius: float | Non
             map_pose=refined,
             last_odom=odom,
             scan_idx=state.scan_idx + 1,
+            crop_center=crop_center,
         )
         return new_state, refined
 

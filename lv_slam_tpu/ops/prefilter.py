@@ -290,7 +290,14 @@ def stride_subsample(cloud: PointCloud, out_cap: int) -> PointCloud:
     need a front-compacted input and pays no gather, but keeps only
     count/stride valid points (vs min(count, out_cap)) when the cloud
     underfills its capacity — the A/B alternative for the scan-matching
-    subsample (`OdometryConfig.subsample_method`)."""
+    subsample (`OdometryConfig.subsample_method`).
+
+    Fill-ratio caveat: at fill = count/cap the matcher sees fill * out_cap
+    points. The flagship caps run ~85-95% full (KITTI 125k/131072), where
+    the loss is immaterial (validated on chip, devkit 0.00049); a cap
+    sized at ~2x the point count would halve the matcher's diet — size
+    caps to the workload (see test_fused_odometry_with_dedup_downsample's
+    measured 43%-fill divergence)."""
     n = cloud.cap
     if out_cap >= n:
         return cloud

@@ -22,6 +22,7 @@ The ROS callback graph becomes explicit methods on one host object:
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -71,6 +72,9 @@ class GlobalGraph:
         # in-flight device loop verifications (dispatched last optimize
         # cycle, harvested at the next — see LoopDetector.dispatch/harvest)
         self.pending_loops: List = []
+        # nodes/edges added since the last LM solve (gates the solve — and
+        # lets drain() defer intermediate solves to its final cycle)
+        self._graph_dirty = False
         self.odoms: Dict[int, np.ndarray] = {}
         self.trans_odom2map = np.eye(4)
         self.zero_utm: Optional[np.ndarray] = None
@@ -84,6 +88,11 @@ class GlobalGraph:
         self.anchor_node_id: Optional[int] = None
         self.anchor_edge_id: Optional[int] = None
         self._orb = None
+        # cumulative wall-clock per backend phase (seconds): populated by
+        # add_scan_batch ("feed_*") and optimize ("opt_*"); host-visible
+        # time only — a fetch entry includes any device work it waited on
+        # (the relay queue is serial). bench.py surfaces these per scan.
+        self.timings: Dict[str, float] = {}
 
         # window accumulation state: device clouds + window-relative transforms
         self._w_parts: List[tuple] = []  # (PointCloud, (4,4) np rel transform)
@@ -279,6 +288,7 @@ class GlobalGraph:
         if images_on_device:
             opened = [i for i in range(c) if triggers[i]]
             if opened:
+                _t_orb = time.perf_counter()
                 import jax.numpy as jnp
 
                 if self._orb is None:
@@ -294,7 +304,12 @@ class GlobalGraph:
                 rows = images[jnp.asarray(idx, jnp.int32)]
                 results = self._orb.detect_and_compute_batch(rows)
                 orb_batch = dict(zip(opened, results[: len(opened)]))
+                self.timings["feed_orb"] = (
+                    self.timings.get("feed_orb", 0.0)
+                    + time.perf_counter() - _t_orb
+                )
 
+        _t_win = time.perf_counter()
         group_cap = 16  # bounds the (L,cap,3) in-program window intermediate
         i = 0
         while i < c:
@@ -324,6 +339,14 @@ class GlobalGraph:
                         if v is not None:
                             self._w_sensors[key] = v
             i = j
+        self.timings["feed_window"] = (
+            self.timings.get("feed_window", 0.0) + time.perf_counter() - _t_win
+        )
+        # eager loop-verification dispatch: this chunk's new keyframes enter
+        # the graph now and their verify ladders go on the device queue
+        # dispatch-only, overlapping the next chunk's odometry (the
+        # reference's backend thread runs concurrently for the same reason)
+        self._ingest("feed")
 
     def _append_group(
         self, chunk: PointCloud, odoms: np.ndarray, i: int, j: int,
@@ -376,8 +399,15 @@ class GlobalGraph:
         """Run optimize cycles until the keyframe queue is empty AND every
         in-flight loop verification has been harvested (the async detect
         defers verdicts by one cycle). End-of-sequence idiom:
-        `backend.finish(); backend.drain()`."""
+        `backend.finish(); backend.drain()`.
+
+        Intermediate cycles (ones that still flush keyframes, so another
+        cycle must follow) skip the LM solve — its poses would be recomputed
+        immediately; only the final cycle pays the solve + pose fetch (the
+        drain tail is synchronous rig time on the remote-TPU relay)."""
         while self.keyframe_queue or self.pending_loops:
+            self.optimize(lm=not self.keyframe_queue)
+        if self._graph_dirty:
             self.optimize()
 
     def _extract_orb(self, image: np.ndarray):
@@ -388,24 +418,68 @@ class GlobalGraph:
         return self._orb.detect_and_compute(image)
 
     # --------------------------------------------------------------- optimize
-    def optimize(self, num_iterations: Optional[int] = None):
+    def _ingest(self, prefix: str = "opt") -> bool:
+        """Flush queued keyframes into the graph AND dispatch their loop
+        verifications (async device programs, harvested at a later optimize
+        cycle). Called from `add_scan_batch` (prefix="feed") so the verify
+        ladders overlap the NEXT chunk's odometry dispatches — on the circle
+        workload every loop candidate appears near sequence end, and without
+        eager dispatch all of that device work lands synchronously in the
+        `drain()` tail (the measured optimize_ms_per_scan≈38 wall of the
+        round-5 on-chip capture)."""
+        tick = time.perf_counter
+        t0 = tick()
+        updated = self._flush_keyframe_queue()
+        self.timings[prefix + "_flush"] = (
+            self.timings.get(prefix + "_flush", 0.0) + tick() - t0
+        )
+        if not updated:
+            return False
+        t0 = tick()
+        self.pending_loops += self.loop_detector.dispatch_verifications(
+            self.keyframes, self.new_keyframes
+        )
+        self.keyframes.extend(self.new_keyframes)
+        self.new_keyframes = []
+        self._graph_dirty = True
+        self.timings[prefix + "_dispatch"] = (
+            self.timings.get(prefix + "_dispatch", 0.0) + tick() - t0
+        )
+        return True
+
+    def optimize(self, num_iterations: Optional[int] = None, lm: bool = True):
         """One `optimization_timer_callback` cycle. Returns the LM result or
-        None when nothing new arrived (no flushed keyframes AND no pending
-        loop verifications).
+        None when nothing changed since the last solve (no new keyframes AND
+        no accepted loops).
 
         Loop detection is asynchronous, like the reference's backend thread
         that never blocks odometry (`global_graph_nodelet.cpp:670-764`):
-        this cycle HARVESTS the verifications dispatched last cycle (their
-        device work overlapped the pipeline in between), adds the accepted
-        loop edges, then DISPATCHES verifications for this cycle's new
-        keyframes without waiting on them. Call `drain()` at end of
-        sequence to flush both queues."""
+        verifications are DISPATCHED eagerly as keyframes arrive (feed-time
+        `_ingest`, so their device work overlaps the pipeline's odometry
+        dispatches); this cycle HARVESTS the in-flight verdicts, adds the
+        accepted loop edges, then runs the LM solve. `lm=False` does
+        everything but the solve (drain()'s intermediate cycles). Call
+        `drain()` at end of sequence to flush both queues."""
         cfg = self.cfg
-        updated = self._flush_keyframe_queue()
+        tick = time.perf_counter
+
+        def tock(key, t0):
+            self.timings[key] = self.timings.get(key, 0.0) + tick() - t0
+            return tick()
+
+        t0 = tick()
+        # this fetch waits on verify ladders dispatched at feed time — in
+        # steady state their device work already overlapped the pipeline,
+        # but an end-of-sequence drain() pays the last chunk's synchronously
         loops = self.loop_detector.harvest(self.pending_loops)
+        t0 = tock("opt_harvest", t0)
         self.pending_loops = []
-        if not updated and not loops:
+        self._ingest()  # catch anything not ingested at feed time
+        if loops:
+            self._graph_dirty = True
+        if not self._graph_dirty:
             return None
+        t0 = tick()
 
         for loop in loops:
             info = np.asarray(
@@ -422,13 +496,9 @@ class GlobalGraph:
             )
             self._n_edges += 1
             self.loops.append(loop)
-
-        if updated:
-            self.pending_loops = self.loop_detector.dispatch_verifications(
-                self.keyframes, self.new_keyframes
-            )
-        self.keyframes.extend(self.new_keyframes)
-        self.new_keyframes = []
+        t0 = tock("opt_loop_edges", t0)
+        if not lm:
+            return None
 
         # ship only the ACTIVE prefix of the graph: node/edge/prior slots are
         # assigned sequentially, so slicing to the next power-of-two bucket is
@@ -440,7 +510,11 @@ class GlobalGraph:
         result = pg.optimize_pose_graph(
             active, num_iterations or cfg.solver_num_iterations
         )
+        t0 = tock("opt_lm_dispatch", t0)
         poses = np.asarray(result.poses, np.float64)
+        t0 = tock("opt_lm_fetch", t0)
+        self.timings["opt_cycles"] = self.timings.get("opt_cycles", 0.0) + 1.0
+        self._graph_dirty = False
         self.graph.poses[:k2] = poses.astype(np.float32)  # host arrays, in place
         if self._n_planes:  # each fetch costs a relay round trip
             self.graph.planes[:] = np.asarray(result.planes, np.float32)

@@ -14,9 +14,16 @@ mkdir -p "$OUT"
 log() { echo "$(date -u +%FT%TZ) $*" | tee -a "$OUT/sweep.log"; }
 
 probe() {
-  timeout 90 python -c "
+  # the relay's first fetch from a fresh process can take minutes when a
+  # bulk upload is in flight; one retry keeps a flaky probe from skipping a
+  # captureable entry (r05c lost 5 entries to probe timeouts while the
+  # relay was demonstrably alive)
+  for _ in 1 2; do
+    timeout 120 python -c "
 import numpy as np, jax.numpy as jnp
-print('probe ok', np.asarray(jnp.zeros(1))[0])" >/dev/null 2>&1
+print('probe ok', np.asarray(jnp.zeros(1))[0])" >/dev/null 2>&1 && return 0
+  done
+  return 1
 }
 
 run_one() {  # name, env...
@@ -46,12 +53,55 @@ if [ -f BENCH_r05_cpu_accuracy_none_stride.json ]; then
 else
   log "ab_none_stride SKIPPED: no CPU accuracy record in-tree"
 fi
-run_one ab_dedup_stride BENCH_MODE=full BENCH_DOWNSAMPLE=DEDUP
+if [ -f BENCH_r05_cpu_accuracy_dedup_stride.json ]; then
+  run_one ab_dedup_stride BENCH_MODE=full BENCH_DOWNSAMPLE=DEDUP
+else
+  log "ab_dedup_stride SKIPPED: no CPU accuracy record in-tree"
+fi
+
+# 3b. round-5 A/Bs: the dlo+lfa fusion gain (BENCH_CHAIN=split restores
+#     the two-program round-4 path), the async-backend gain (BENCH_ASYNC=0
+#     restores the in-line backend — the delta vs full_170 is the overlap
+#     win), and A-LOAM's mapping skipFrameNum=2 (gated on its CPU accuracy
+#     record, like NONE+stride)
+run_one ab_chain_split BENCH_MODE=full BENCH_CHAIN=split
+run_one ab_sync_backend BENCH_MODE=full BENCH_ASYNC=0
+if [ -f BENCH_r05_cpu_accuracy_lfa_stride2.json ]; then
+  run_one ab_lfa_stride2 BENCH_MODE=full BENCH_LFA_STRIDE=2
+else
+  log "ab_lfa_stride2 SKIPPED: no CPU accuracy record in-tree"
+fi
+# the combined candidate (zero-sort prefilter + LFA mapping stride): only
+# selectable once ITS OWN full-density CPU accuracy record exists — the
+# per-variant records don't compose automatically
+if [ -f BENCH_r05_cpu_accuracy_turbo.json ]; then
+  run_one ab_turbo BENCH_MODE=full BENCH_DOWNSAMPLE=NONE BENCH_LFA_STRIDE=2
+else
+  log "ab_turbo SKIPPED: no CPU accuracy record in-tree"
+fi
+
+# 3c. chunk-size A/B: 64-scan chunks halve the per-chunk relay round trips
+#     (pose fetch + ORB fetch each cost 30-500 ms latency); exact-equal
+#     output (carry-threaded chunking), so no accuracy record needed
+run_one ab_chunk64 BENCH_MODE=full BENCH_CHUNK=64
 
 # 4. extras: LFA delta attribution + fleet retention (separate passes so
 #    a mid-run wedge cannot take the headline with it)
 run_one full_delta BENCH_MODE=full BENCH_DELTA=1 BENCH_REPS=1
 run_one full_fleet BENCH_MODE=full BENCH_FLEET=1 BENCH_REPS=1
+
+# 4b. the multi-loop workload (300-scan double circle, VERDICT r4 #7):
+#     heaviest upload (~660 MB through the few-MB/s relay — the 1500 s
+#     default timed out mid-upload in the first r5 sweep), so it runs
+#     after the headline artifacts are already on disk, with its own cap
+if probe; then
+  log "multi_loop_300 start"
+  timeout 3000 env BENCH_MODE=full BENCH_TRAJECTORY=double_circle BENCH_REPS=1 \
+    python bench.py > "$OUT/multi_loop_300.json" 2> "$OUT/multi_loop_300.err"
+  log "multi_loop_300 rc=$? $(tail -c 400 "$OUT/multi_loop_300.json" 2>/dev/null)"
+else
+  log "multi_loop_300 SKIPPED: relay dead"
+fi
 
 # 5. profilers
 if probe; then
@@ -64,6 +114,11 @@ if probe; then
   timeout 1200 python scripts/profile_stages.py --lfa > "$OUT/profile_lfa.txt" 2>&1
   log "profile_lfa rc=$?"
 fi
+if probe; then
+  log "profile_backend start"
+  timeout 1200 python scripts/profile_stages.py --backend > "$OUT/profile_backend.txt" 2>&1
+  log "profile_backend rc=$?"
+fi
 
 # 6. winner report: highest tracking_ok throughput whose devkit_t_err is
 #    within 2x of the headline's (advisor r4: don't let a loose 0.010 gate
@@ -73,7 +128,8 @@ python - "$OUT" << 'EOF'
 import json, os, sys
 out = sys.argv[1]
 entries = {}
-for name in ("full_170", "ab_none_stride", "ab_dedup_stride"):
+for name in ("full_170", "ab_none_stride", "ab_dedup_stride",
+             "ab_lfa_stride2", "ab_turbo"):
     p = os.path.join(out, name + ".json")
     try:
         with open(p) as f:

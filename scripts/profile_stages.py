@@ -232,10 +232,92 @@ def _lfa_components(cfg, c0, c1, cap):
     carry_timed("FULL lfa step", lambda x, m: step(st0, x, m, eye)[1], c1.xyz, c1.mask)
 
 
+def _backend_components(cfg, clouds, cap):
+    """Device-exec cost of every backend-side program the worker thread
+    waits on (the round-5 wall): batched ORB pyramid, the fused loop-verify
+    ladder, the window-group compose, and the pose-graph LM solve. These
+    tell round-trip latency apart from device time in the bench's
+    backend_phase_ms_per_scan numbers."""
+    from lv_slam_tpu.config import LoopDetectorConfig
+    from lv_slam_tpu.graph import pose_graph as pg
+    from lv_slam_tpu.graph.loop_detector import LoopDetector, _fused_verify_fn
+    from lv_slam_tpu.ops.orb import _detect_pyramid_batch
+    from lv_slam_tpu.utils.jit_cache import window_group_filtered_fn
+
+    # 1. ORB pyramid over an 8-image chunk batch (bench images are 128x256
+    #    uint8; float input so carry_timed's perturbation defeats hoisting)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (8, 128, 256)).astype(np.float32))
+    ld = LoopDetector(LoopDetectorConfig())
+    k_levels = None
+    from lv_slam_tpu.ops import orb as _orb
+
+    k_levels = _orb.OrbExtractor()._k_levels(128, 256)
+    carry_timed(
+        "orb pyramid batch (8 imgs)",
+        lambda im: _detect_pyramid_batch(im.astype(jnp.uint8), k_levels, 20.0),
+        imgs, reps=5,
+    )
+
+    # 2. fused verify ladder, k=1 candidate, full keyframe-cap clouds
+    c0, c1 = clouds[0], clouds[1]
+    budget = int(ld.cfg.verify_coarse_points)
+    stride = max(1, cap // budget) if budget > 0 else 1
+    vfn = _fused_verify_fn(
+        ld._resolutions, ld._iter_schedule, ld.cfg.ndt_neighborhood,
+        ld._leaf_cap, ld._lut_extent, 0.25, stride,
+    )
+    guess = jnp.eye(4, dtype=jnp.float32)[None].at[0, 0, 3].set(2.0)
+    carry_timed(
+        "verify ladder (k=1)",
+        lambda nx, nm, cx, cm, g: vfn(
+            nx, jnp.zeros(cap), nm, cx[None], jnp.zeros((1, cap)), cm[None], g
+        ),
+        c0.xyz, c0.mask, c1.xyz, c1.mask, guess, reps=5,
+    )
+
+    # 3. window-group compose over a 16-scan filtered chunk (C,3,cap)
+    l2 = 16
+    cx = jnp.stack([c.xyz.T for c in clouds[:l2]])
+    ci = jnp.stack([c.intensity for c in clouds[:l2]])
+    cm = jnp.stack([c.mask for c in clouds[:l2]])
+    rels = jnp.asarray(np.stack([np.eye(4)] * l2).astype(np.float32))
+    valid = jnp.asarray(np.ones(l2, bool))
+    wfn = window_group_filtered_fn(0.1, cap, l2)
+    carry_timed(
+        "window group (16 scans)",
+        lambda x, r: wfn(x, ci, cm, jnp.int32(0), r, valid),
+        cx, rels, reps=5,
+    )
+
+    # 4. pose-graph LM at the 64-node bucket (the backend's common case)
+    g = pg.empty_graph(64, 256, 16)
+    rng = np.random.default_rng(1)
+    for i in range(40):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [i * 2.0, np.sin(i * 0.3), 0.0]
+        g = pg.add_node(g, i, T)
+        if i:
+            meas = np.eye(4, dtype=np.float32)
+            meas[0, 3] = 2.0
+            g = pg.add_se3_edge(g, i - 1, i - 1, i, meas, np.eye(6, dtype=np.float32))
+    jax.block_until_ready(jax.tree.leaves(g))
+    import time as _t
+
+    np.asarray(pg.optimize_pose_graph(g, 64).poses)  # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        np.asarray(pg.optimize_pose_graph(g, 64).poses)
+        best = min(best, _t.perf_counter() - t0)
+    print(f"{'LM solve 64it (40 nodes)':28s} {(best - _fetch_latency()) * 1000.0:8.3f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true", help="kernel microbenches")
     ap.add_argument("--lfa", action="store_true", help="LFA component microbenches")
+    ap.add_argument("--backend", action="store_true", help="backend program microbenches")
     ap.add_argument("--synth", action="store_true", help="ray-trace instead of cache")
     args = ap.parse_args()
     n_scans = int(os.environ.get("N", "64"))
@@ -254,6 +336,10 @@ def main():
 
     if args.lfa:
         _lfa_components(cfg, c0, c1, cap)
+        return
+
+    if args.backend:
+        _backend_components(cfg, clouds, cap)
         return
 
     if args.kernels:

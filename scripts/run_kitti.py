@@ -29,9 +29,11 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
 
     from lv_slam_tpu import native
     from lv_slam_tpu.core.cloud import PointCloud
-    from lv_slam_tpu.lfa.fused import run_sequence_lfa
     from lv_slam_tpu.odometry.fused import run_sequence_fused
     from lv_slam_tpu.pipeline.backend import GlobalGraph
+    from lv_slam_tpu.pipeline.fused_chain import run_sequence_chain
+
+    from lv_slam_tpu.pipeline.async_backend import AsyncBackend
 
     tr_mat = np.eye(4)
     tr_mat[:3, :4] = tr[:3, :4]
@@ -39,17 +41,21 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
         cfg.graph, cfg.loop, calib_tr=tr_mat, vocabulary=vocabulary,
         prefilter_cfg=cfg.prefilter,
     )
+    # the backend (pose fetch + keyframe windows + loop dispatch + LM) runs
+    # on its own worker thread, like the reference's backend nodelet — the
+    # producer below only dispatches device programs
+    async_b = AsyncBackend(backend)
     cap = cfg.prefilter.raw_cap
-    odo_state = lfa_state = None
+    odo_state = chain_state = None
     poses = []
     seq = 0
     pending = None
     t0 = time.perf_counter()
 
-    def drain(p):
-        """Fetch chunk k-1's poses and run its backend host work — called
-        AFTER chunk k's device programs are dispatched, so this overlaps
-        device compute (the reference's nodelets pipeline the same way)."""
+    def _drain_work(p):
+        """Fetch chunk k-1's poses and run its backend host work — executes
+        on the AsyncBackend worker, overlapping the producer's device
+        dispatches (the reference's nodelets pipeline the same way)."""
         p_seq, n, refined, cloud, imgs = p
         refined_np = np.asarray(refined, np.float64)
         backend.add_scan_batch(
@@ -66,27 +72,32 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
         rate = (p_seq + n) / (time.perf_counter() - t0)
         print(f"scan {p_seq + n}/{len(scan_files)}  {rate:.1f} scans/s")
 
+    def drain(p):
+        async_b.submit(_drain_work, p)
+
     def flush(buf):
-        nonlocal odo_state, lfa_state, seq, pending
+        nonlocal odo_state, chain_state, seq, pending
         clouds = [PointCloud.from_numpy(s, cap=cap) for s in buf]
         xyz = jnp.stack([c.xyz for c in clouds])
         mask = jnp.stack([c.mask for c in clouds])
         inten = jnp.stack([c.intensity for c in clouds])
         stamps = (jnp.arange(len(buf), dtype=jnp.float32) + seq) * 0.1
-        (odom, filt), odo_state = run_sequence_fused(
-            xyz, mask, stamps, cfg.odometry, cfg.prefilter,
-            init_state=odo_state, return_state=True,
-            inten=inten, return_filtered=True,
-        )
         if use_lfa and cfg.lfa is not None:
-            # the lfa stage consumes the RAW scan like the reference's A-LOAM
+            # fused dlo+lfa chain: ONE device program per chunk; the lfa
+            # stage consumes the RAW scan like the reference's A-LOAM
             # (ascanRegistration subscribes to /velodyne_points and applies
             # only its own minimum_range cut)
-            refined, lfa_state = run_sequence_lfa(
-                xyz, mask, cfg.lfa, odom_poses=odom,
-                init_state=lfa_state, return_state=True,
+            (odom, refined, filt), chain_state = run_sequence_chain(
+                xyz, mask, stamps, cfg.odometry, cfg.prefilter, cfg.lfa,
+                init_state=chain_state, return_state=True,
+                inten=inten, return_filtered=True,
             )
         else:
+            (odom, filt), odo_state = run_sequence_fused(
+                xyz, mask, stamps, cfg.odometry, cfg.prefilter,
+                init_state=odo_state, return_state=True,
+                inten=inten, return_filtered=True,
+            )
             refined = odom
         # the backend consumes /filtered_points (dlo_lfa_ggo_kitti.launch:88):
         # the prefilter chain is folded into the chunk-level window-group
@@ -123,8 +134,8 @@ def _run_fused(scan_files, image_files, cfg, use_lfa, chunk, tr, optimize_every,
         flush(buf)
     if pending is not None:
         drain(pending)
-    backend.finish()
-    backend.drain()
+    async_b.finish()
+    async_b.drain()  # joins the worker; `backend` is owned by us again
     return poses, backend
 
 

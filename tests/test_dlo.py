@@ -331,18 +331,28 @@ def test_dedup_downsample_method():
 
 def test_fused_odometry_with_dedup_downsample(small_sequence):
     """The fused DLO chain tracks with downsample_method=DEDUP (the
-    no-segment-reduction A/B for the on-chip speed pick)."""
+    no-segment-reduction A/B for the on-chip speed pick), under the shipped
+    `stride` scan-matching subsample.
+
+    Caps are sized to the scans (~14k points -> 16k cap, ~86% fill, the
+    production fill ratio: KITTI raw 125k/131072). stride keeps count/k
+    valid points, NOT min(count, cap) — at a 43% fill (32k cap here) it
+    would starve the matcher to ~3.5k points and tracking degrades; see
+    stride_subsample's docstring. The flagship defaults were validated on
+    chip at full density (devkit 0.00049)."""
     import jax.numpy as jnp
 
     from lv_slam_tpu.core.cloud import PointCloud
     from lv_slam_tpu.odometry.fused import run_sequence_fused
 
     scans, gt_poses, _ = small_sequence
+    cap = 16384
+    assert all(len(s) <= cap for s in scans[:4])
     pf = PrefilterConfig(
-        downsample_method="DEDUP", raw_cap=_CAP, out_cap=_CAP,
+        downsample_method="DEDUP", raw_cap=cap, out_cap=cap,
     )
     cfg = OdometryConfig(ndt=_NDT, scan_matching_cap=8192)
-    clouds = [PointCloud.from_numpy(s, cap=_CAP) for s in scans[:4]]
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans[:4]]
     xyz = jnp.stack([c.xyz for c in clouds])
     mask = jnp.stack([c.mask for c in clouds])
     stamps = jnp.arange(4, dtype=jnp.float32) * 0.1

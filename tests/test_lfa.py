@@ -171,3 +171,107 @@ def test_lfa_mapping_corrects_bad_seed(lfa_sequence):
     refined = mapper.process(feats, bad_seed)
     err = np.linalg.norm(refined[:3, 3] - gt_rel[3][:3, 3])
     assert err < 0.08, err
+
+
+def test_lfa_fused_mapping_stride(lfa_sequence):
+    """mapping_skip_frame > 1 in the fused dlo_lfa coupling: skipped scans
+    output the odometry composed onto the last map correction (A-LOAM's
+    aft_mapped_to_init_high_frec), mapped scans still correct drift, and the
+    world maps only grow on mapped scans."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+
+    scans, gt = lfa_sequence
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt).astype(np.float32)
+    noisy = gt_rel.copy()
+    for i in range(1, len(scans)):
+        noisy[i:, :3, 3] += np.float32(0.03)
+
+    cap = 32768
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+    cfg2 = dataclasses.replace(_CFG, mapping_skip_frame=2)
+
+    refined, state = run_sequence_lfa(
+        xyz, mask, cfg2, odom_poses=jnp.asarray(noisy), return_state=True
+    )
+    refined = np.asarray(refined)
+
+    # skipped scans (odd scan_idx): pose == map_pose @ inv(last_odom) @ odom
+    # where (map_pose, last_odom) come from the preceding mapped scan. Scans
+    # 1,3,5,... are skipped (scan_idx % 2 != 0); verify scan 1 against the
+    # init state (map_pose = last_odom = odom0).
+    want1 = gt_rel[0] @ np.linalg.inv(gt_rel[0]) @ noisy[1]
+    np.testing.assert_allclose(refined[1], want1, atol=1e-4)
+
+    # refinement still corrects the accumulated drift at half rate
+    err_in = np.linalg.norm(noisy[1:, :3, 3] - gt_rel[1:, :3, 3], axis=1)
+    err_out = np.linalg.norm(refined[1:, :3, 3] - gt_rel[1:, :3, 3], axis=1)
+    assert err_out[-1] < err_in[-1] * 0.6, (err_in[-1], err_out[-1])
+
+    # the map tables grew on mapped scans only: run stride=1 for comparison
+    _, state1 = run_sequence_lfa(
+        xyz, mask, _CFG, odom_poses=jnp.asarray(noisy), return_state=True
+    )
+    def _n_valid(tbl):
+        t = np.asarray(tbl.table).reshape(tbl.table.shape[0], -1, 4)
+        return int((t[..., 3] > 0).sum())
+
+    n2 = _n_valid(state.surf_table)
+    n1 = _n_valid(state1.surf_table)
+    assert n2 < n1, (n2, n1)
+
+
+def test_lfa_crop_interval_gates_table_sweep(lfa_sequence):
+    """`crop_interval` defers the full-table crop sweep until the pose has
+    moved that far (A-LOAM re-centers its cube grid only near a boundary,
+    laserMapping.cpp). At the production geometry the crop is query-
+    invisible: crop_radius (150) exceeds sensor range (~120) + the 8-cell
+    probe reach, so any point far enough to be cropped can never sit in a
+    probed cell. This stress test shrinks the radius INSIDE the sensor
+    range to force cropping on a short drive — there the two settings see
+    genuinely different (both valid) feature sets, so poses agree to the
+    few-mm scale of the extra correspondences, not bit-exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lv_slam_tpu.lfa.fused import run_sequence_lfa
+
+    scans, gt = lfa_sequence
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt).astype(np.float32)
+    cap = 32768
+    clouds = [PointCloud.from_numpy(s, cap=cap) for s in scans]
+    xyz = jnp.stack([c.xyz for c in clouds])
+    mask = jnp.stack([c.mask for c in clouds])
+
+    def _n_valid(tbl):
+        t = np.asarray(tbl.table).reshape(tbl.table.shape[0], -1, 4)
+        return int((t[..., 3] > 0.5).sum())
+
+    # tight radius so the ~7 m drive pushes early points past it
+    results = {}
+    for interval in (0.0, 1e6):
+        cfg = dataclasses.replace(_CFG, crop_radius=20.0, crop_interval=interval)
+        refined, state = run_sequence_lfa(
+            xyz, mask, cfg, odom_poses=jnp.asarray(gt_rel), return_state=True
+        )
+        results[interval] = (np.asarray(refined), _n_valid(state.surf_table))
+
+    # every-scan crop removed points the gated run retained
+    assert results[1e6][1] > results[0.0][1], (results[0.0][1], results[1e6][1])
+    # and tracking is unaffected: the trajectories agree to the few-mm
+    # scale of the extra in-range correspondences (measured max ~11 mm on
+    # this 7 m drive; production-geometry crops are exactly invisible)
+    np.testing.assert_allclose(
+        results[1e6][0][:, :3, 3], results[0.0][0][:, :3, 3], atol=5e-2
+    )
+    # both settings still track the ground truth
+    gt_rel_t = gt_rel[: len(results[0.0][0]), :3, 3]
+    for interval, (ref, _) in results.items():
+        err = np.linalg.norm(ref[:, :3, 3] - gt_rel_t, axis=1).max()
+        assert err < 0.15, (interval, err)
